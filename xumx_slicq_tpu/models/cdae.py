@@ -1,0 +1,156 @@
+"""Per-bucket convolutional denoising autoencoder (CDAE) mask network.
+
+Re-design of the reference's `_SlicedUnmixCDAE` (sevagh/xumx-sliCQ-V2
+model.py:86-271) as a functional JAX module:
+
+* the 4 per-target CDAEs (deep copies in the reference, model.py:183-188)
+  become one weight pytree with a leading target axis, applied with
+  `jax.vmap` -- one grouped XLA conv program instead of 4 Python dispatches;
+* encoder conv1 has time kernel = the bucket's slice window T and stride T/2,
+  absorbing the 50% slice overlap (model.py:130-142); decoder mirrors with
+  transposed convs; sigmoid output is a soft mask multiplied into the mix;
+* the realtime variant left-pads time (causal conv, model.py:274-290).
+
+Architecture hyperparameters (hidden 50/51, time_filter_2=4, frequency
+kernel 1/3/5 by block-height thresholds 10/20) follow the reference's
+Optuna-tuned values (model.py:88-117).
+"""
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .nn import batch_norm, conv2d, conv_transpose2d, init_bn_params, init_bn_stats, kaiming_uniform_conv
+
+NB_TARGETS = 4
+
+
+@dataclass(frozen=True)
+class SlicedCDAESpec:
+    """Static shape/hyperparameter info for one bucket's CDAE."""
+
+    nb_channels: int
+    nb_f_bins: int
+    nb_t_bins: int
+    hidden_size_1: int = 50
+    hidden_size_2: int = 51
+    time_filter_2: int = 4
+    realtime: bool = False
+
+    @property
+    def freq_filter(self) -> int:
+        # thresholds 10/20 choose kernel 1/3/5 (model.py:112-117)
+        if self.nb_f_bins < 10:
+            return 1
+        if self.nb_f_bins < 20:
+            return 3
+        return 5
+
+
+def init_cdae_params(key, spec: SlicedCDAESpec) -> dict:
+    """Parameters for all 4 targets, stacked on axis 0."""
+    fphi = spec.freq_filter
+    T = spec.nb_t_bins
+    C = spec.nb_channels
+    h1, h2, tf2 = spec.hidden_size_1, spec.hidden_size_2, spec.time_filter_2
+
+    keys = jax.random.split(key, 5 * NB_TARGETS)
+
+    params = {
+        "enc1_w": jnp.stack([
+            kaiming_uniform_conv(keys[0 * NB_TARGETS + t], (h1, C, fphi, T))
+            for t in range(NB_TARGETS)
+        ]),
+        "enc2_w": jnp.stack([
+            kaiming_uniform_conv(keys[1 * NB_TARGETS + t], (h2, h1, fphi, tf2))
+            for t in range(NB_TARGETS)
+        ]),
+        # transposed conv weights keep torch's IOHW layout
+        "dec1_w": jnp.stack([
+            kaiming_uniform_conv(keys[2 * NB_TARGETS + t], (h2, h1, fphi, tf2))
+            for t in range(NB_TARGETS)
+        ]),
+        "dec2_w": jnp.stack([
+            kaiming_uniform_conv(keys[3 * NB_TARGETS + t], (h1, C, fphi, T))
+            for t in range(NB_TARGETS)
+        ]),
+        "input_mean": jnp.zeros(spec.nb_f_bins, jnp.float32),
+        "input_scale": jnp.ones(spec.nb_f_bins, jnp.float32),
+    }
+    bias_bound = (1.0 / (spec.hidden_size_1 * fphi * T)) ** 0.5
+    params["dec2_b"] = jax.random.uniform(
+        keys[-1], (NB_TARGETS, C), jnp.float32, -bias_bound, bias_bound
+    )
+
+    def stack_bn(ch):
+        one = init_bn_params(ch)
+        return jax.tree.map(lambda a: jnp.stack([a] * NB_TARGETS), one)
+
+    params["bn1"] = stack_bn(h1)
+    params["bn2"] = stack_bn(h2)
+    params["bn3"] = stack_bn(h1)
+    return params
+
+
+def init_cdae_batch_stats(spec: SlicedCDAESpec) -> dict:
+    def stack_bn(ch):
+        one = init_bn_stats(ch)
+        return jax.tree.map(lambda a: jnp.stack([a] * NB_TARGETS), one)
+
+    return {
+        "bn1": stack_bn(spec.hidden_size_1),
+        "bn2": stack_bn(spec.hidden_size_2),
+        "bn3": stack_bn(spec.hidden_size_1),
+    }
+
+
+def _single_target_cdae(x, p, bn, spec: SlicedCDAESpec, train: bool):
+    """One target's CDAE on whitened magnitude x: (B, C, F, S*T) -> mask."""
+    T = spec.nb_t_bins
+    hop = T // 2
+
+    if spec.realtime:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (T - 1, 0)))
+    h = conv2d(x, p["enc1_w"], stride=(1, hop))
+    h, bn1 = batch_norm(h, p["bn1"], bn["bn1"], train)
+    h = jax.nn.relu(h)
+
+    h = conv2d(h, p["enc2_w"])
+    h, bn2 = batch_norm(h, p["bn2"], bn["bn2"], train)
+    h = jax.nn.relu(h)
+
+    h = conv_transpose2d(h, p["dec1_w"])
+    h, bn3 = batch_norm(h, p["bn3"], bn["bn3"], train)
+    h = jax.nn.relu(h)
+
+    h = conv_transpose2d(h, p["dec2_w"], stride=(1, hop))
+    h = h + p["dec2_b"][None, :, None, None]
+    mask = jax.nn.sigmoid(h)
+    return mask, {"bn1": bn1, "bn2": bn2, "bn3": bn3}
+
+
+def apply_cdae(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: SlicedCDAESpec, train: bool = False):
+    """All-target CDAE for one bucket.
+
+    x_mag: (B, C, F, S, T) magnitude of the mixture block.
+    Returns (masks (4, B, C, F, S, T), new_batch_stats)."""
+    B, C, F, S, T = x_mag.shape
+    x = x_mag.reshape(B, C, F, S * T)
+
+    # whitening: per-frequency learned shift/scale (model.py:239-242)
+    x = (x + params["input_mean"][None, None, :, None]) * params["input_scale"][None, None, :, None]
+
+    target_params = {
+        k: params[k]
+        for k in ("enc1_w", "enc2_w", "dec1_w", "dec2_w", "dec2_b", "bn1", "bn2", "bn3")
+    }
+
+    def per_target(p, bn):
+        return _single_target_cdae(x, p, bn, spec, train)
+
+    masks, new_bn = jax.vmap(per_target)(target_params, batch_stats)
+    # crop (the transpose conv can overshoot in time) and restore slice axis
+    masks = masks[..., :F, : S * T].reshape(NB_TARGETS, B, C, F, S, T)
+    return masks, new_bn

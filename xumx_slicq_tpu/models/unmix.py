@@ -1,0 +1,117 @@
+"""Unmix: the full 4-target mask network over all sliCQT buckets.
+
+Re-design of the reference's `Unmix` (sevagh/xumx-sliCQ-V2 model.py:29-82):
+one CDAE (or LSTM) mask model per bucket, with the multichannel Wiener-EM
+(offline) or mix-phase (realtime) reconstruction embedded in the forward
+pass (model.py:263-269). The per-bucket Python loop exists only at trace
+time; under jit the whole network is one XLA program.
+
+Parameters/state are plain pytrees:
+    params      = {"blocks": [per-bucket param dict, ...]}
+    batch_stats = {"blocks": [per-bucket BN state, ...]}
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import wiener as wiener_ops
+from .cdae import NB_TARGETS, SlicedCDAESpec, apply_cdae, init_cdae_batch_stats, init_cdae_params
+from .lstm import SlicedLSTMSpec, apply_lstm, init_lstm_batch_stats, init_lstm_params
+
+
+class Unmix:
+    """Functional model: specs are static, parameters are pytrees.
+
+    block_shapes: list of (B, C, F, S, T) shapes from SliCQT.block_shapes
+    (the sample jagged input parameterizes the architecture, mirroring
+    NSGTBase.predict_input_size -> Unmix.__init__ in the reference).
+    """
+
+    def __init__(
+        self,
+        block_shapes: Sequence[Tuple[int, ...]],
+        realtime: bool = False,
+        lstm: bool = False,
+        input_means: Optional[Sequence] = None,
+        input_scales: Optional[Sequence] = None,
+        wiener_iterations: int = 1,
+    ):
+        self.realtime = realtime
+        self.lstm = lstm
+        self.wiener_iterations = wiener_iterations
+        self.specs: List = []
+        for shape in block_shapes:
+            _, C, F, S, T = shape
+            if lstm:
+                self.specs.append(
+                    SlicedLSTMSpec(nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime)
+                )
+            else:
+                self.specs.append(
+                    SlicedCDAESpec(nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime)
+                )
+        self._input_means = input_means
+        self._input_scales = input_scales
+
+    # -- init ----------------------------------------------------------------
+
+    def init(self, key) -> Tuple[dict, dict]:
+        keys = jax.random.split(key, len(self.specs))
+        blocks = []
+        stats = []
+        for i, (k, spec) in enumerate(zip(keys, self.specs)):
+            if self.lstm:
+                p = init_lstm_params(k, spec)
+                s = init_lstm_batch_stats(spec)
+            else:
+                p = init_cdae_params(k, spec)
+                s = init_cdae_batch_stats(spec)
+            # dataset whitening statistics (training.py:115-154 -> model.py:192-203)
+            if self._input_means is not None:
+                p["input_mean"] = jnp.asarray(-self._input_means[i], jnp.float32)
+            if self._input_scales is not None:
+                p["input_scale"] = jnp.asarray(1.0 / self._input_scales[i], jnp.float32)
+            blocks.append(p)
+            stats.append(s)
+        return {"blocks": blocks}, {"blocks": stats}
+
+    # -- forward -------------------------------------------------------------
+
+    def apply(
+        self,
+        params: dict,
+        batch_stats: dict,
+        Xcomplex: Sequence[jnp.ndarray],
+        train: bool = False,
+    ):
+        """Forward over all buckets.
+
+        Xcomplex: list of (B, C, F, S, T) complex mixture blocks.
+        Returns (Ycomplex list of (4, B, C, F, S, T) complex,
+                 Ymasks list of (4, B, C, F, S, T) float,
+                 new_batch_stats)."""
+        Ycomplex = []
+        Ymasks = []
+        new_stats = []
+        for spec, p, bn, Xb in zip(self.specs, params["blocks"], batch_stats["blocks"], Xcomplex):
+            Xmag = jnp.abs(Xb)
+            if self.lstm:
+                masks, nbn = apply_lstm(p, bn, Xmag, spec, train=train)
+            else:
+                masks, nbn = apply_cdae(p, bn, Xmag, spec, train=train)
+            Ymag = masks * Xmag[None]  # multiplicative skip connection
+            if self.realtime:
+                Yb = wiener_ops.blockwise_phasemix_sep(Xb, Ymag)
+            else:
+                Yb = wiener_ops.blockwise_wiener(Xb, Ymag, self.wiener_iterations)
+            Ycomplex.append(Yb)
+            Ymasks.append(masks)
+            new_stats.append(nbn)
+        return Ycomplex, Ymasks, {"blocks": new_stats}
+
+    # -- info ----------------------------------------------------------------
+
+    def num_params(self, params: dict) -> int:
+        return sum(int(x.size) for x in jax.tree.leaves(params))

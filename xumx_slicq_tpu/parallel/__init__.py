@@ -1,0 +1,11 @@
+"""Device-mesh parallelism: data-parallel training, track-sharded evaluation.
+
+The reference is single-device (SURVEY.md 2.10: no torch.distributed of any
+kind); this package is the TPU-native scaling layer built on
+jax.sharding.Mesh + NamedSharding. XLA inserts the ICI collectives (psum for
+gradients and BatchNorm statistics) from the sharding annotations.
+"""
+
+from .mesh import make_mesh, shard_batch, replicate, local_mesh_devices
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "local_mesh_devices"]

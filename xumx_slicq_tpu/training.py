@@ -1,0 +1,466 @@
+"""Training stack: jitted data-parallel train/valid steps, AdamW + plateau
+LR schedule, early stopping, whitening statistics, checkpoints + JSON
+manifest.
+
+Re-design of the reference trainer (sevagh/xumx-sliCQ-V2 training.py):
+
+* the whole step (sliCQT of mix + 4 targets -> Unmix forward with embedded
+  Wiener-EM -> 14-combo complex MSE + mask-sum (+ SD-SDR) -> grads -> AdamW
+  update) is ONE jitted function; the reference's per-batch Python dispatch
+  disappears;
+* data parallelism over a jax.sharding Mesh: batch sharded on the "dp"
+  axis, params replicated; XLA inserts the psum for gradients and for
+  BatchNorm batch statistics (cross-replica sync-BN);
+* ReduceLROnPlateau(factor, patience, cooldown=10) and EarlyStopping mirror
+  the reference's schedules (training.py:401-408, 590-630);
+* checkpoints: full state (params/batch_stats/opt_state) via flax
+  serialization next to the same JSON manifest schema the reference uses
+  (training.py:534-546), so inference can rebuild the exact transform.
+"""
+
+import argparse
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from . import loss as losses
+from .data import MUSDBDataset, PeripheryDataset, SyntheticDataset, DataLoader
+from .models import Unmix
+from .ops.slicqt import SliCQT
+from .parallel import make_mesh, replicate, shard_batch
+from .separator import save_model_weights
+
+
+# ---------------------------------------------------------------------------
+# schedules (host-side, mirroring torch semantics)
+# ---------------------------------------------------------------------------
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau (min mode) with cooldown."""
+
+    def __init__(self, lr: float, factor: float = 0.3, patience: int = 80, cooldown: int = 10):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.cooldown = cooldown
+        self.best = None
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def step(self, metric: float) -> float:
+        if self.best is None or metric < self.best:
+            self.best = metric
+            self.num_bad_epochs = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.cooldown_counter = self.cooldown
+                self.num_bad_epochs = 0
+        return self.lr
+
+    def state_dict(self):
+        return dict(lr=self.lr, best=self.best, num_bad_epochs=self.num_bad_epochs,
+                    cooldown_counter=self.cooldown_counter)
+
+    def load_state_dict(self, d):
+        self.lr = d["lr"]
+        self.best = d["best"]
+        self.num_bad_epochs = d["num_bad_epochs"]
+        self.cooldown_counter = d["cooldown_counter"]
+
+
+class EarlyStopping:
+    """Early stopping monitor (reference training.py:590-630)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = None
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> bool:
+        if self.best is None:
+            self.best = metric
+            return False
+        if np.isnan(metric):
+            return True
+        if metric < self.best - self.min_delta:
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        return self.num_bad_epochs >= self.patience
+
+
+class AverageMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.sum += float(val) * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+# ---------------------------------------------------------------------------
+# whitening statistics
+# ---------------------------------------------------------------------------
+
+
+def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Optional[int] = None):
+    """Per-block, per-frequency mean/std of the mixture magnitude sliCQT
+    over the dataset (reference training.py:115-154: StandardScaler
+    partial_fit over (frames, F) rows of the channel-mean magnitude).
+
+    Runs the transform jitted per track-length bucket; accumulates running
+    count/sum/sumsq per frequency bin on host."""
+    n_blocks = len(slicqt.buckets)
+    count = [0.0] * n_blocks
+    s1 = [None] * n_blocks
+    s2 = [None] * n_blocks
+
+    n_tracks = len(dataset.tracks) if hasattr(dataset, "tracks") else len(dataset)
+    if max_tracks:
+        n_tracks = min(n_tracks, max_tracks)
+
+    fwd = jax.jit(lambda x: [jnp.abs(c) for c in slicqt.forward(x)])
+
+    for ti in range(n_tracks):
+        # deterministic full-track mixture (samples_per_track stride)
+        item = dataset[ti * getattr(dataset, "samples_per_track", 1)]
+        x = np.asarray(item[0], np.float32)[None]  # (1, C, L)
+        mags = fwd(jnp.asarray(x))
+        for i, m in enumerate(mags):
+            m = np.asarray(m)  # (1, C, F, S, T)
+            flat = m.reshape(m.shape[0], m.shape[1], m.shape[2], -1).mean(1)  # (1,F,frames)
+            rows = np.moveaxis(flat, 1, 2).reshape(-1, m.shape[2])  # (frames, F)
+            count[i] += rows.shape[0]
+            if s1[i] is None:
+                s1[i] = rows.sum(0)
+                s2[i] = (rows ** 2).sum(0)
+            else:
+                s1[i] += rows.sum(0)
+                s2[i] += (rows ** 2).sum(0)
+
+    means = [s1[i] / count[i] for i in range(n_blocks)]
+    stds = []
+    for i in range(n_blocks):
+        var = np.maximum(s2[i] / count[i] - means[i] ** 2, 0.0)
+        std = np.sqrt(var)
+        stds.append(np.maximum(std, 1e-4 * np.max(std)))
+    return means, stds
+
+
+# ---------------------------------------------------------------------------
+# train / valid steps
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = -1.0, seq_len: int = None):
+    """Build the jitted training step.
+
+    batch: (B, 5, C, L) stacked (mix, bass, vocals, other, drums)."""
+
+    def loss_fn(params, batch_stats, batch):
+        x = batch[:, 0]
+        y = batch[:, 1:]                                   # (B, 4, C, L)
+        B, T4, C, L = y.shape
+
+        X = slicqt.forward(x)
+        Y_est, Y_masks, new_stats = model.apply(params, batch_stats, X, train=True)
+
+        # all 4 targets in one transform call (targets folded into batch)
+        Yt = slicqt.forward(y.reshape(B * 4, C, L))
+        Y_tgt = [c.reshape(B, 4, *c.shape[1:]).swapaxes(0, 1) for c in Yt]
+
+        total = losses.complex_mse_loss(Y_est, Y_tgt) + losses.mask_sum_loss(Y_masks)
+        if sdr_mcoef > 0.0:
+            est_b = [yb.reshape((-1,) + yb.shape[2:]) for yb in Y_est]
+            y_est_wave = slicqt.backward(est_b, L).reshape(4, B, C, L)
+            total = total + sdr_mcoef * losses.sdsdr_loss(y_est_wave, y.swapaxes(0, 1))
+        return total, new_stats
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    @jax.jit
+    def valid_step(params, batch_stats, batch):
+        x = batch[:, 0]
+        y = batch[:, 1:]
+        B, T4, C, L = y.shape
+        X = slicqt.forward(x)
+        Y_est, Y_masks, _ = model.apply(params, batch_stats, X, train=False)
+        Yt = slicqt.forward(y.reshape(B * 4, C, L))
+        Y_tgt = [c.reshape(B, 4, *c.shape[1:]).swapaxes(0, 1) for c in Yt]
+        total = losses.complex_mse_loss(Y_est, Y_tgt) + losses.mask_sum_loss(Y_masks)
+        if sdr_mcoef > 0.0:
+            est_b = [yb.reshape((-1,) + yb.shape[2:]) for yb in Y_est]
+            y_est_wave = slicqt.backward(est_b, L).reshape(4, B, C, L)
+            total = total + sdr_mcoef * losses.sdsdr_loss(y_est_wave, y.swapaxes(0, 1))
+        return total
+
+    return train_step, valid_step
+
+
+# ---------------------------------------------------------------------------
+# checkpointing
+# ---------------------------------------------------------------------------
+
+MANIFEST = "xumx_slicq_tpu.json"
+CHECKPOINT = "xumx_slicq_tpu.chkpnt"
+
+
+def save_checkpoint(path: Path, params, batch_stats, opt_state, is_best: bool):
+    """Full state every epoch; best-only weights (reference
+    training.py:563-568 keeps .chkpnt + best .pth)."""
+    blob = serialization.to_bytes({
+        "params": params, "batch_stats": batch_stats, "opt_state": opt_state,
+    })
+    with open(path / CHECKPOINT, "wb") as f:
+        f.write(blob)
+    if is_best:
+        save_model_weights(path, params, batch_stats)
+
+
+def load_checkpoint(path: Path, params, batch_stats, opt_state):
+    with open(path / CHECKPOINT, "rb") as f:
+        blob = serialization.from_bytes(
+            {"params": params, "batch_stats": batch_stats, "opt_state": opt_state},
+            f.read(),
+        )
+    return blob["params"], blob["batch_stats"], blob["opt_state"]
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def build_argparser():
+    """Flag surface mirrors the reference trainer (training.py:158-277)."""
+    p = argparse.ArgumentParser(description="xumx-sliCQ-TPU Trainer")
+    p.add_argument("--musdb-root", type=str, default="/MUSDB18-HQ")
+    p.add_argument("--periphery-root", type=str, default="/Periphery")
+    p.add_argument("--samples-per-track", type=int, default=64)
+    p.add_argument("--periphery-dataset", action="store_true", default=False)
+    p.add_argument("--synthetic-dataset", action="store_true", default=False,
+                   help="train on the synthetic dataset (tests/smoke runs)")
+    p.add_argument("--model-path", type=str, default="/model")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size-valid", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--patience", type=int, default=1000)
+    p.add_argument("--lr-decay-patience", type=int, default=80)
+    p.add_argument("--lr-decay-gamma", type=float, default=0.3)
+    p.add_argument("--weight-decay", type=float, default=0.00001)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug", action="store_true", default=False,
+                   help="skip dataset statistics calculation")
+    p.add_argument("--sdr-mcoef", type=float, default=-1.0)
+    p.add_argument("--realtime", action="store_true", default=False)
+    p.add_argument("--lstm", action="store_true", default=False)
+    p.add_argument("--seq-dur", type=float, default=2.0)
+    p.add_argument("--fscale", choices=("bark", "mel", "cqlog", "vqlog", "linear", "mrstft"), default="bark")
+    p.add_argument("--fbins", type=int, default=262)
+    p.add_argument("--fmin", type=float, default=32.9)
+    p.add_argument("--fgamma", type=float, default=0.0)
+    p.add_argument("--nb-workers", type=int, default=4)
+    p.add_argument("--quiet", action="store_true", default=False)
+    p.add_argument("--n-devices", type=int, default=-1,
+                   help="devices for the dp mesh (-1 = all)")
+    p.add_argument("--valid-seq-dur", type=float, default=-1.0,
+                   help="crop validation tracks (<=0: full tracks, padded to a bucket)")
+    p.add_argument("--max-batches-per-epoch", type=int, default=-1,
+                   help="cap batches per epoch (smoke runs)")
+    return p
+
+
+def training_main(argv=None):
+    args = build_argparser().parse_args(argv)
+    t0_all = time.time()
+
+    # dataset
+    if args.synthetic_dataset:
+        train_dataset = SyntheticDataset(seq_duration=args.seq_dur, seed=args.seed)
+        valid_dataset = SyntheticDataset(
+            n_tracks=2, seq_duration=args.seq_dur, samples_per_track=1, seed=args.seed + 1
+        )
+    elif args.periphery_dataset:
+        train_dataset, valid_dataset = PeripheryDataset.load_datasets(
+            args.seed, args.seq_dur, args.samples_per_track, args.periphery_root
+        )
+    else:
+        train_dataset, valid_dataset = MUSDBDataset.load_datasets(
+            args.seed, args.seq_dur, args.samples_per_track, args.musdb_root
+        )
+
+    target_path = Path(args.model_path)
+    target_path.mkdir(parents=True, exist_ok=True)
+    model_exists = (target_path / CHECKPOINT).exists()
+
+    # transform + model
+    slicqt = SliCQT(
+        scale=args.fscale, fbins=args.fbins, fmin=args.fmin,
+        fgamma=args.fgamma, fs=train_dataset.sample_rate,
+    )
+    seq_len = int(args.seq_dur * train_dataset.sample_rate)
+    shapes = slicqt.block_shapes(args.batch_size, 2, seq_len)
+    n_blocks = len(shapes)
+
+    if model_exists or args.debug:
+        scaler_mean = scaler_std = None
+    else:
+        if not args.quiet:
+            print("Computing dataset whitening statistics...")
+        scaler_mean, scaler_std = get_statistics(slicqt, train_dataset, quiet=args.quiet)
+
+    model = Unmix(
+        shapes, realtime=args.realtime, lstm=args.lstm,
+        input_means=scaler_mean, input_scales=scaler_std,
+    )
+    params, batch_stats = model.init(jax.random.PRNGKey(args.seed))
+    if not args.quiet:
+        print(f"model parameters: {model.num_params(params):,}")
+
+    # mesh + optimizer
+    n_dev = None if args.n_devices < 0 else args.n_devices
+    mesh = make_mesh(n_dev)
+    if not args.quiet:
+        print(f"data-parallel mesh: {mesh.shape}")
+
+    scheduler = ReduceLROnPlateau(args.lr, args.lr_decay_gamma, args.lr_decay_patience, cooldown=10)
+    lr_schedule = lambda _count: scheduler.lr  # host-controlled plateau LR
+    optimizer = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=args.lr, weight_decay=args.weight_decay
+    )
+    opt_state = optimizer.init(params)
+
+    train_step, valid_step = make_train_step(slicqt, model, optimizer, args.sdr_mcoef, seq_len)
+
+    es = EarlyStopping(patience=args.patience)
+    train_losses, valid_losses, train_times = [], [], []
+    best_epoch = 0
+    start_epoch = 1
+
+    if model_exists:
+        print("Model exists, resuming training...")
+        with open(target_path / MANIFEST) as f:
+            results = json.load(f)
+        params, batch_stats, opt_state = load_checkpoint(target_path, params, batch_stats, opt_state)
+        start_epoch = results["epochs_trained"] + 1
+        train_losses = results["train_loss_history"]
+        valid_losses = results["valid_loss_history"]
+        train_times = results["train_time_history"]
+        best_epoch = results["best_epoch"]
+        es.best = results["best_loss"]
+        es.num_bad_epochs = results["num_bad_epochs"]
+        if "scheduler" in results:
+            scheduler.load_state_dict(results["scheduler"])
+
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_loader = DataLoader(
+        train_dataset, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+    )
+    valid_loader = DataLoader(valid_dataset, args.batch_size_valid, shuffle=False)
+
+    metrics_csv = target_path / "metrics.csv"
+    if not metrics_csv.exists():
+        metrics_csv.write_text("epoch,train_loss,valid_loss,lr,epoch_time_s\n")
+
+    for epoch in range(start_epoch, args.epochs + 1):
+        end = time.time()
+        # -- train
+        meter = AverageMeter()
+        for bi, batch in enumerate(train_loader):
+            if args.max_batches_per_epoch > 0 and bi >= args.max_batches_per_epoch:
+                break
+            batch = shard_batch(batch, mesh)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(scheduler.lr, jnp.float32)
+            params, batch_stats, opt_state, l = train_step(params, batch_stats, opt_state, batch)
+            meter.update(l, batch.shape[0])
+        train_loss = meter.avg
+
+        # -- validate
+        vmeter = AverageMeter()
+        for bi, batch in enumerate(valid_loader):
+            if args.max_batches_per_epoch > 0 and bi >= args.max_batches_per_epoch:
+                break
+            if args.valid_seq_dur > 0:
+                batch = batch[..., : int(args.valid_seq_dur * train_dataset.sample_rate)]
+            else:
+                # pad to the next slice bucket to bound recompiles
+                L = batch.shape[-1]
+                Lpad = slicqt.max_length(slicqt.n_slices(L))
+                batch = np.pad(batch, [(0, 0)] * (batch.ndim - 1) + [(0, max(0, Lpad - L))])
+            vmeter.update(valid_step(params, batch_stats, jnp.asarray(batch)), batch.shape[0])
+        valid_loss = vmeter.avg
+
+        scheduler.step(valid_loss)
+        train_losses.append(float(train_loss))
+        valid_losses.append(float(valid_loss))
+        train_times.append(time.time() - end)
+
+        stop = es.step(valid_loss)
+        if valid_loss == es.best:
+            best_epoch = epoch
+
+        save_checkpoint(target_path, jax.device_get(params), jax.device_get(batch_stats),
+                        jax.device_get(opt_state), is_best=valid_loss == es.best)
+
+        manifest = {
+            "epochs_trained": epoch,
+            "args": {**vars(args), "sample_rate": train_dataset.sample_rate,
+                     "nb_channels": 2, "seq_dur": args.seq_dur},
+            "best_loss": float(es.best),
+            "best_epoch": best_epoch,
+            "train_loss_history": train_losses,
+            "valid_loss_history": valid_losses,
+            "train_time_history": train_times,
+            "num_bad_epochs": es.num_bad_epochs,
+            "scheduler": scheduler.state_dict(),
+        }
+        with open(target_path / MANIFEST, "w") as f:
+            json.dump(manifest, f, indent=4, sort_keys=True)
+        with open(metrics_csv, "a") as f:
+            f.write(f"{epoch},{train_loss},{valid_loss},{scheduler.lr},{train_times[-1]}\n")
+
+        if not args.quiet:
+            print(f"epoch {epoch}: train {train_loss:.5f} valid {valid_loss:.5f} "
+                  f"lr {scheduler.lr:.2e} ({train_times[-1]:.1f}s)")
+        if stop:
+            print("Apply Early Stopping")
+            break
+
+    if not args.quiet:
+        print(f"total wall time {time.time()-t0_all:.1f}s")
+    return train_losses, valid_losses
+
+
+if __name__ == "__main__":
+    training_main()
