@@ -1,0 +1,99 @@
+"""Data layer tests: wav I/O round-trip, preprocessing, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from xumx_slicq_tpu import data as D
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 5000)) * 0.3).astype(np.float32)
+    p = tmp_path / "x.wav"
+    D.save_audio(p, audio, 44100)
+    back, sr = D.load_audio(p)
+    assert sr == 44100
+    np.testing.assert_allclose(back, audio, atol=1e-6)
+    info = D.load_info(p)
+    assert info["samples"] == 5000 and info["channels"] == 2
+
+
+def test_load_audio_segment(tmp_path):
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 44100)).astype(np.float32)
+    p = tmp_path / "y.wav"
+    D.save_audio(p, audio, 44100)
+    seg, _ = D.load_audio(p, start=0.5, dur=0.25)
+    np.testing.assert_allclose(seg, audio[:, 22050: 22050 + 11025], atol=1e-6)
+
+
+def test_preprocess_audio_shapes():
+    mono = np.zeros(1000, np.float32)
+    assert D.preprocess_audio(mono).shape == (1, 2, 1000)
+    st = np.zeros((2, 1000), np.float32)
+    assert D.preprocess_audio(st).shape == (1, 2, 1000)
+    tn = np.zeros((1000, 2), np.float32)  # (time, ch) orientation
+    assert D.preprocess_audio(tn[None]).shape == (1, 2, 1000)
+
+
+def test_preprocess_resample():
+    t = np.arange(22050) / 22050
+    sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = D.preprocess_audio(np.stack([sig, sig]), rate=22050, model_rate=44100)
+    assert out.shape == (1, 2, 44100)
+
+
+def _make_tree(tmp_path, subset, names, n=8000):
+    rng = np.random.default_rng(0)
+    for name in names:
+        d = tmp_path / subset / name
+        d.mkdir(parents=True)
+        stems = {s: (rng.standard_normal((2, n)) * 0.2).astype(np.float32) for s in D.SOURCES}
+        mix = sum(stems.values())
+        D.save_audio(d / "mixture.wav", mix, 44100)
+        for s, a in stems.items():
+            D.save_audio(d / f"{s}.wav", a, 44100)
+
+
+def test_track_tree_dataset(tmp_path):
+    _make_tree(tmp_path, "train", ["trackA", "trackB", D.MUSDB_VALIDATION_TRACKS[0]])
+    train = D.TrackTreeDataset(tmp_path, split="train", seq_duration=0.05, samples_per_track=2)
+    valid = D.TrackTreeDataset(tmp_path, split="valid", seq_duration=None, samples_per_track=1)
+    assert len(train.tracks) == 2  # validation track excluded
+    assert len(valid.tracks) == 1
+    item = train[0]
+    assert item.shape == (5, 2, int(0.05 * 44100))
+    # mix equals sum of stems when no augmentation
+    np.testing.assert_allclose(item[0], item[1:].sum(0), atol=1e-5)
+    full = valid[0]
+    assert full.shape == (5, 2, 8000)
+
+
+def test_synthetic_dataset_and_loader():
+    ds = D.SyntheticDataset(n_tracks=2, seq_duration=0.1, samples_per_track=3)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item.shape[0] == 5 and item.shape[1] == 2
+    loader = D.DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0].shape == (4, 5, 2, item.shape[-1])
+
+
+def test_pad_collate():
+    items = [np.ones((5, 2, 10), np.float32), np.ones((5, 2, 7), np.float32)]
+    out = D.pad_collate(items)
+    assert out.shape == (2, 5, 2, 10)
+    assert out[1, :, :, 7:].sum() == 0
+
+
+def test_augmentations():
+    import random
+
+    rng = random.Random(0)
+    a = np.ones((2, 100), np.float32)
+    g = D._augment_gain(a, rng)
+    assert 0.25 <= g[0, 0] <= 1.25
+    aug = D.aug_from_str(["gain", "channelswap"])
+    out = aug(np.stack([np.zeros(10), np.ones(10)]).astype(np.float32), rng)
+    assert out.shape == (2, 10)
