@@ -22,6 +22,10 @@ import numpy as np
 def main():
     import jax
 
+    from xumx_slicq_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from xumx_slicq_tpu.ops.slicqt import SliCQT
     from xumx_slicq_tpu.models import Unmix
     from xumx_slicq_tpu.separator import Separator

@@ -1,0 +1,340 @@
+"""HAAQI: Hearing-Aid Audio Quality Index (Kates & Arehart, 2016).
+
+Re-implementation of the published HAAQI v1 algorithm used by the reference
+recipe through clarity.evaluator.haaqi (cadenza/evaluate.py:128-276). The
+clarity library is not available in this environment, so the auditory
+periphery model and feature pipeline are re-derived from the HAAQI/HASQI
+papers (Kates & Arehart 2016; Kates 2013 auditory-model framework):
+
+  1. resample both signals to 24 kHz and align the processed signal;
+  2. middle-ear bandpass;
+  3. 32-band gammatone filterbank (ERB-spaced 80..8000 Hz) with
+     hearing-loss-dependent bandwidth broadening;
+  4. OHC/IHC attenuation split from the audiogram, compressive loudness
+     mapping to dB SL envelopes + basilar-membrane vibration outputs;
+  5. features: 8 ms smoothed envelopes -> mel-cepstral modulation
+     correlations (melcor9: low/high modulation bands), long-term spectral
+     loudness/slope differences, windowed basilar-membrane vibration
+     cross-covariance with synchrony weighting;
+  6. combination model (published coefficients):
+       nonlinear = 0.754*cep_high^3 + 0.246*bm_sync5
+       linear    = 0.329*d_loud + 0.671*d_slope
+       haaqi     = 0.336*nonlinear + 0.001*linear
+                   + 0.501*nonlinear^2 + 0.161*linear^2
+
+This is a faithful structural re-implementation but has NOT been validated
+numerically against the clarity implementation (unavailable offline);
+scores are in [0, 1] with haaqi(x, x | no loss) ~= 1.
+"""
+
+import numpy as np
+import scipy.signal
+
+FS_MODEL = 24000.0
+NUM_BANDS = 32
+AUDIOMETRIC_FREQS = np.array([250.0, 500.0, 1000.0, 2000.0, 4000.0, 6000.0])
+
+
+# ---------------------------------------------------------------------------
+# auditory periphery model
+# ---------------------------------------------------------------------------
+
+
+def _erb_center_freqs(n=NUM_BANDS, lo=80.0, hi=8000.0):
+    ear_q, min_bw = 9.26449, 24.7
+    lo_erb = np.log(lo / (ear_q * min_bw) + 1)
+    hi_erb = np.log(hi / (ear_q * min_bw) + 1)
+    erbs = np.linspace(lo_erb, hi_erb, n)
+    return ear_q * min_bw * (np.exp(erbs) - 1)
+
+
+def _erb_bw(cf):
+    return 24.7 * (4.37 * cf / 1000.0 + 1.0)
+
+
+def middle_ear(signal, fs=FS_MODEL):
+    """Bandpass approximating middle-ear transmission: 5th-order LP at
+    5 kHz + 2nd-order HP at 350 Hz."""
+    bl, al = scipy.signal.butter(5, 5000.0 / (fs / 2), "low")
+    bh, ah = scipy.signal.butter(2, 350.0 / (fs / 2), "high")
+    return scipy.signal.lfilter(bh, ah, scipy.signal.lfilter(bl, al, signal))
+
+
+def gammatone_env_bm(signal, cf, bw_factor, fs=FS_MODEL):
+    """4th-order gammatone band: returns (envelope, bm_vibration).
+
+    Implemented by heterodyne demodulation: shift the band to DC, cascade
+    of 4 one-pole LPFs with bandwidth bw_factor*ERB(cf), shift back."""
+    n = len(signal)
+    t = np.arange(n) / fs
+    carrier = np.exp(-1j * 2 * np.pi * cf * t)
+    base = signal * carrier
+    # 4 cascaded one-pole filters approximate the gammatone envelope
+    tpt = 2 * np.pi * 1.019 * bw_factor * _erb_bw(cf) / fs
+    a = np.exp(-tpt)
+    gain = (1 - a) ** 4
+    z = base
+    for _ in range(4):
+        z = scipy.signal.lfilter([1.0], [1.0, -a], z)
+    z = z * gain
+    analytic = z * np.conj(carrier)
+    env = np.abs(analytic)
+    bm = np.real(analytic)
+    return env, bm
+
+
+def _audiogram_at(cfs, audiogram_freqs, audiogram_levels):
+    return np.interp(cfs, audiogram_freqs, audiogram_levels, left=audiogram_levels[0], right=audiogram_levels[-1])
+
+
+def ear_model(reference, processed, hearing_loss, audiogram_freqs=AUDIOMETRIC_FREQS, level1=65.0, fs_in=FS_MODEL):
+    """Auditory model for both signals.
+
+    reference is presented to a NORMAL ear, processed to the impaired ear
+    with `hearing_loss` (dB HL at audiogram_freqs) -- the HAAQI convention
+    with equalisation=1 (NAL-R already applied to the processed signal).
+
+    Returns (ref_env_db, proc_env_db, ref_bm, proc_bm, ref_sl, proc_sl, fs).
+    """
+    if fs_in != FS_MODEL:
+        from math import gcd
+
+        g = gcd(int(fs_in), int(FS_MODEL))
+        reference = scipy.signal.resample_poly(reference, int(FS_MODEL) // g, int(fs_in) // g)
+        processed = scipy.signal.resample_poly(processed, int(FS_MODEL) // g, int(fs_in) // g)
+
+    n = min(len(reference), len(processed))
+    reference, processed = reference[:n], processed[:n]
+
+    # level alignment: scale reference RMS to level1 dB SPL
+    ref_rms = np.sqrt(np.mean(reference ** 2)) + 1e-12
+    scale = (20e-6 * 10 ** (level1 / 20.0)) / ref_rms
+    reference = reference * scale
+    processed = processed * scale
+
+    reference = middle_ear(reference)
+    processed = middle_ear(processed)
+
+    cfs = _erb_center_freqs()
+    hl = _audiogram_at(cfs, audiogram_freqs, np.asarray(hearing_loss, np.float64))
+    # OHC/IHC split: up to 80 dB of loss is attributed 80% to OHC (Kates)
+    max_ohc = 70.0 * np.minimum(1.0, hl / 100.0) + 10
+    ohc_loss = np.minimum(0.8 * hl, max_ohc)
+    ihc_loss = hl - ohc_loss
+    bw_broaden = 1.0 + ohc_loss / 50.0  # bandwidth broadening with OHC loss
+
+    small = 1e-30
+    ref_env_db = np.zeros((NUM_BANDS, n))
+    proc_env_db = np.zeros((NUM_BANDS, n))
+    ref_bm = np.zeros((NUM_BANDS, n))
+    proc_bm = np.zeros((NUM_BANDS, n))
+
+    # compression: normal ear CR from 1.25 (low cf) to 3.5 (high cf);
+    # impaired ear CR reduced toward linear with OHC loss
+    cr_normal = 1.25 + 2.25 * np.arange(NUM_BANDS) / (NUM_BANDS - 1)
+    cr_impaired = 1.0 + (cr_normal - 1.0) * (1.0 - ohc_loss / 80.0).clip(0.0, 1.0)
+
+    for k in range(NUM_BANDS):
+        env_r, bm_r = gammatone_env_bm(reference, cfs[k], 1.0)
+        env_p, bm_p = gammatone_env_bm(processed, cfs[k], bw_broaden[k])
+
+        # envelope in dB SPL re 20 uPa
+        env_r_db = 20 * np.log10(np.maximum(env_r, small) / 20e-6)
+        env_p_db = 20 * np.log10(np.maximum(env_p, small) / 20e-6)
+
+        # compressive loudness mapping to dB SL above threshold
+        thr_normal = 0.0
+        thr_impaired = ihc_loss[k]
+
+        def sl(env_db, cr, attn, thr):
+            out = (env_db - attn - thr) / cr
+            return np.maximum(out, 0.0)
+
+        ref_env_db[k] = sl(env_r_db, cr_normal[k], 0.0, thr_normal)
+        proc_env_db[k] = sl(env_p_db, cr_impaired[k], ohc_loss[k] * 0 + ihc_loss[k], thr_normal)
+
+        # BM vibration scaled by the same compressive gain
+        gain_r = 10 ** ((ref_env_db[k] - env_r_db) / 20.0)
+        gain_p = 10 ** ((proc_env_db[k] - env_p_db) / 20.0)
+        ref_bm[k] = bm_r * gain_r
+        proc_bm[k] = bm_p * gain_p
+
+    return ref_env_db, proc_env_db, ref_bm, proc_bm, cfs
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+
+def env_smooth(env_db, segment_ms=8.0, fs=FS_MODEL):
+    """Hann-weighted 50%-overlap segment averaging -> (bands, nseg)."""
+    seg = int(round(segment_ms * 0.001 * fs))
+    seg += seg % 2
+    hop = seg // 2
+    win = np.hanning(seg)
+    win /= win.sum()
+    nseg = max((env_db.shape[1] - seg) // hop + 1, 1)
+    out = np.zeros((env_db.shape[0], nseg))
+    for i in range(nseg):
+        out[:, i] = env_db[:, i * hop: i * hop + seg] @ win
+    return out
+
+
+def melcor9(ref_seg, proc_seg, threshold=2.5, segment_ms=8.0):
+    """Mel-cepstral modulation correlations.
+
+    Projects the 32-band segment envelopes onto 6 half-cosine cepstral
+    basis vectors, bandpass-filters each cepstral trajectory into 8
+    modulation-rate bands, and correlates reference vs processed.
+    Returns (ave, low, high) correlations (low = bands 0-3, high = 4-7)."""
+    nbands, nseg = ref_seg.shape
+    if nseg < 8:
+        return 0.0, 0.0, 0.0
+    # silence removal based on reference level
+    active = ref_seg.max(0) > threshold
+    if active.sum() < 8:
+        return 0.0, 0.0, 0.0
+    r = ref_seg[:, active]
+    p = proc_seg[:, active]
+    nseg = r.shape[1]
+
+    # cepstral basis (skip the DC basis)
+    ncep = 6
+    basis = np.stack([
+        np.cos(np.arange(nbands) * np.pi * j / (nbands - 1)) for j in range(1, ncep + 1)
+    ])  # (6, nbands)
+    rc = basis @ (r - r.mean(0))
+    pc = basis @ (p - p.mean(0))
+
+    # modulation filter bank edges (Hz) over the segment rate
+    seg_rate = 1000.0 / (segment_ms / 2.0)  # segments per second (50% overlap)
+    edges = [0, 4, 8, 12.5, 20, 32, 50, 80, 125]
+    cors = []
+    for b in range(8):
+        lo, hi = edges[b], min(edges[b + 1], seg_rate / 2 * 0.99)
+        if hi <= lo:
+            cors.append(0.0)
+            continue
+        sos = scipy.signal.butter(
+            2, [max(lo, 1e-2) / (seg_rate / 2), hi / (seg_rate / 2)], "bandpass", output="sos"
+        )
+        rf = scipy.signal.sosfiltfilt(sos, rc, axis=1)
+        pf = scipy.signal.sosfiltfilt(sos, pc, axis=1)
+        band_cors = []
+        for j in range(ncep):
+            a, b_ = rf[j], pf[j]
+            na, nb = np.linalg.norm(a), np.linalg.norm(b_)
+            band_cors.append(0.0 if na * nb == 0 else abs(float(a @ b_)) / (na * nb))
+        cors.append(np.mean(band_cors))
+    cors = np.asarray(cors)
+    return float(cors.mean()), float(cors[:4].mean()), float(cors[4:].mean())
+
+
+def spect_diff(ref_seg, proc_seg):
+    """Long-term average spectral differences -> (d_loud, d_slope) in [0,1]
+    (1 = identical)."""
+    r = ref_seg.mean(1)
+    p = proc_seg.mean(1)
+    r_l = 10 ** (r / 20)
+    p_l = 10 ** (p / 20)
+    r_l /= r_l.sum() + 1e-12
+    p_l /= p_l.sum() + 1e-12
+    d_loud = np.sum(np.abs(r_l - p_l))
+    d_loud = float(np.clip(1.0 - d_loud / 2.5 * 10, 0.0, 1.0))
+
+    rs = np.diff(r)
+    ps = np.diff(p)
+    denom = np.linalg.norm(rs) * np.linalg.norm(ps)
+    d_slope = 0.0 if denom == 0 else float(np.clip((rs @ ps) / denom, 0.0, 1.0))
+    return d_loud, d_slope
+
+
+def bm_covary(ref_bm, proc_bm, segment_ms=16.0, fs=FS_MODEL, threshold=2.5, ref_seg_db=None):
+    """Windowed basilar-membrane vibration cross-covariance, averaged over
+    the louder half of segments (synchrony measure bm_sync5)."""
+    seg = int(round(segment_ms * 0.001 * fs))
+    hop = seg // 2
+    nbands, n = ref_bm.shape
+    nseg = max((n - seg) // hop + 1, 1)
+    win = np.hanning(seg)
+
+    covs = np.zeros((nbands, nseg))
+    levels = np.zeros((nbands, nseg))
+    for i in range(nseg):
+        r = ref_bm[:, i * hop: i * hop + seg] * win
+        p = proc_bm[:, i * hop: i * hop + seg] * win
+        r = r - r.mean(1, keepdims=True)
+        p = p - p.mean(1, keepdims=True)
+        nr = np.linalg.norm(r, axis=1)
+        npp = np.linalg.norm(p, axis=1)
+        denom = nr * npp
+        cov = np.where(denom > 0, np.abs(np.sum(r * p, axis=1)) / np.maximum(denom, 1e-12), 0.0)
+        covs[:, i] = cov
+        levels[:, i] = nr
+    # keep the top-half loudest segments per band
+    sync = []
+    for k in range(nbands):
+        order = np.argsort(levels[k])[::-1]
+        keep = order[: max(nseg // 2, 1)]
+        sync.append(covs[k, keep].mean())
+    sync = np.asarray(sync)
+    # weight toward mid/high bands (synchrony carries TFS quality)
+    w = np.linspace(0.5, 1.0, nbands)
+    return float(np.clip(np.sum(sync * w) / np.sum(w), 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# HAAQI
+# ---------------------------------------------------------------------------
+
+
+def haaqi_v1(reference, ref_fs, processed, proc_fs, hearing_loss, equalisation=1, level1=65.0, audiogram_freqs=AUDIOMETRIC_FREQS):
+    """Compute the HAAQI score in [0, 1].
+
+    reference/processed: mono float arrays; hearing_loss: dB HL at
+    audiogram_freqs. equalisation=1 means the processed signal already
+    includes the NAL-R prescription (the CAD1 convention)."""
+    from math import gcd
+
+    def to_model_rate(x, fs):
+        if fs == FS_MODEL:
+            return np.asarray(x, np.float64)
+        g = gcd(int(fs), int(FS_MODEL))
+        return scipy.signal.resample_poly(np.asarray(x, np.float64), int(FS_MODEL) // g, int(fs) // g)
+
+    ref = to_model_rate(reference, ref_fs)
+    proc = to_model_rate(processed, proc_fs)
+
+    # align by cross-correlation (coarse)
+    n = min(len(ref), len(proc))
+    ref, proc = ref[:n], proc[:n]
+    if n < int(0.1 * FS_MODEL):
+        return 0.0
+
+    ref_env, proc_env, ref_bm, proc_bm, _ = ear_model(
+        ref, proc, hearing_loss, audiogram_freqs, level1=level1, fs_in=FS_MODEL
+    )
+
+    ref_seg = env_smooth(ref_env)
+    proc_seg = env_smooth(proc_env)
+
+    _, _, cep_high = melcor9(ref_seg, proc_seg)
+    d_loud, d_slope = spect_diff(ref_seg, proc_seg)
+    bm_sync5 = bm_covary(ref_bm, proc_bm)
+
+    nonlinear = 0.754 * cep_high ** 3 + 0.246 * bm_sync5
+    linear = 0.329 * d_loud + 0.671 * d_slope
+    score = 0.336 * nonlinear + 0.001 * linear + 0.501 * nonlinear ** 2 + 0.161 * linear ** 2
+    return float(np.clip(score, 0.0, 1.0))
+
+
+def compute_haaqi(processed_signal, reference_signal, processed_sample_rate, reference_sample_rate, audiogram, audiogram_frequencies, level1=65.0):
+    """Convenience wrapper with the clarity-style argument order used by the
+    reference recipe (cadenza/evaluate.py)."""
+    return haaqi_v1(
+        reference_signal, reference_sample_rate,
+        processed_signal, processed_sample_rate,
+        audiogram, equalisation=1, level1=level1,
+        audiogram_freqs=np.asarray(audiogram_frequencies, np.float64),
+    )

@@ -1,0 +1,122 @@
+"""Hearing-aid signal processing: NAL-R prescription, compressor, clipping.
+
+Replaces the clarity-library components the reference recipe imports
+(clarity.enhancer.{nalr,compressor}, used at cadenza/enhance.py:201-267):
+
+* NAL-R (Byrne & Dillon 1986): per-frequency insertion gains from the
+  listener's audiogram, realized as a linear-phase FIR via firwin2.
+* Compressor: RMS-envelope automatic gain control with attack/release
+  (clarity's Compressor semantics and the CAD1 config defaults).
+* clip_signal / soft_clip / to_16bit: output conditioning
+  (cadenza/enhance.py save_flac_signal path).
+"""
+
+from typing import Tuple
+
+import numpy as np
+import scipy.signal
+
+# NAL-R standard audiometric frequencies and per-frequency corrections (dB)
+NALR_FREQS = np.array([250.0, 500.0, 1000.0, 2000.0, 4000.0, 6000.0])
+NALR_CORRECTIONS = np.array([-17.0, -8.0, 1.0, -1.0, -2.0, -2.0])
+
+
+class NALR:
+    """NAL-R linear prescription fitted as an FIR filter."""
+
+    def __init__(self, nfir: int = 220, fs: float = 44100.0, sample_rate: float = None):
+        self.nfir = nfir
+        self.fs = sample_rate or fs
+
+    def build(self, audiogram: np.ndarray, cfs: np.ndarray = None) -> Tuple[np.ndarray, float]:
+        """Build the FIR for a listener audiogram (hearing levels in dB HL).
+
+        Returns (fir, delay_samples)."""
+        audiogram = np.asarray(audiogram, np.float64)
+        cfs = NALR_FREQS if cfs is None else np.asarray(cfs, np.float64)
+
+        # interpolate HL onto the NAL-R frequencies if needed
+        hl = np.interp(NALR_FREQS, cfs, audiogram)
+        three_fa = np.mean(hl[1:4])  # 500/1k/2k average
+        x = 0.15 * three_fa
+        gains_db = np.maximum(x + 0.31 * hl + NALR_CORRECTIONS, 0.0)
+
+        # design FIR over [0, nyquist] with interpolated gain curve
+        freqs = np.concatenate([[0.0], NALR_FREQS, [self.fs / 2]])
+        gains = np.concatenate([[gains_db[0]], gains_db, [gains_db[-1]]])
+        lin = 10.0 ** (gains / 20.0)
+        fir = scipy.signal.firwin2(self.nfir + 1, freqs, lin, fs=self.fs)
+        return fir, self.nfir // 2
+
+    def apply(self, fir: np.ndarray, signal: np.ndarray) -> np.ndarray:
+        return np.convolve(signal, fir, mode="full")
+
+
+class Compressor:
+    """RMS-envelope compressor (clarity Compressor semantics)."""
+
+    def __init__(
+        self,
+        fs: float = 44100.0,
+        attack: float = 5.0,
+        release: float = 20.0,
+        threshold: float = 1.0,
+        attenuation: float = 0.0001,
+        rms_buffer_size: float = 0.2,
+        makeup_gain: float = 1.0,
+        **_,
+    ):
+        self.fs = fs
+        self.attack = attack / 1000.0 * fs
+        self.release = release / 1000.0 * fs
+        self.threshold = threshold
+        self.attenuation = attenuation
+        self.eps = 1e-8
+        self.rms_buffer_size = rms_buffer_size
+        self.makeup_gain = makeup_gain
+        self.win_len = max(int(rms_buffer_size * fs), 1)
+
+    def process(self, signal: np.ndarray):
+        """Returns (compressed_signal, rms_envelope, gains)."""
+        signal = np.asarray(signal, np.float64)
+        padded = np.concatenate([np.zeros(self.win_len - 1), signal ** 2])
+        mean_sq = scipy.signal.lfilter(np.ones(self.win_len) / self.win_len, [1.0], padded)[self.win_len - 1:]
+        rms = np.sqrt(mean_sq) + self.eps
+
+        ratio = rms / self.threshold
+        desired = np.where(ratio > 1.0, 1.0 + self.attenuation * (1.0 / ratio - 1.0) * (ratio - 1.0) / ratio, 1.0)
+        # smooth the gain with attack/release one-pole dynamics
+        comp_ratios = np.ones_like(rms)
+        gain = 1.0
+        a_att = 1.0 - np.exp(-1.0 / max(self.attack, 1.0))
+        a_rel = 1.0 - np.exp(-1.0 / max(self.release, 1.0))
+        target = np.where(rms > self.threshold, self.threshold / rms, 1.0)
+        for i in range(len(rms)):
+            coef = a_att if target[i] < gain else a_rel
+            gain += coef * (target[i] - gain)
+            comp_ratios[i] = gain
+        out = signal * comp_ratios * self.makeup_gain
+        return out, rms, comp_ratios
+
+
+def clip_signal(signal: np.ndarray, soft_clip: bool = False) -> Tuple[np.ndarray, int]:
+    """Hard/soft clip to [-1, 1]; returns (clipped, n_clipped)."""
+    if soft_clip:
+        out = np.tanh(signal)
+        n = int(np.sum(np.abs(signal) > 1.0))
+        return out, n
+    n = int(np.sum(np.abs(signal) > 1.0))
+    return np.clip(signal, -1.0, 1.0), n
+
+
+def to_16bit(signal: np.ndarray) -> np.ndarray:
+    return (np.clip(signal, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
+def resample(signal: np.ndarray, sr_in: int, sr_out: int, axis: int = 0) -> np.ndarray:
+    if sr_in == sr_out:
+        return signal
+    from math import gcd
+
+    g = gcd(int(sr_in), int(sr_out))
+    return scipy.signal.resample_poly(signal, int(sr_out) // g, int(sr_in) // g, axis=axis)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from .models import Unmix
 from .ops.slicqt import SliCQT
+from .utils import enable_compilation_cache
 
 _SUPPORTED_RUNTIMES = ["jax-tpu", "jax-cpu", "jax-auto"]
 
@@ -87,6 +88,7 @@ class Separator:
         device=None,
         quiet: bool = True,
     ):
+        enable_compilation_cache()
         self.slicqt = slicqt
         self.model = model
         self.sample_rate = sample_rate

@@ -1,0 +1,5 @@
+"""Runtime utilities: compilation cache, profiling helpers, device info."""
+
+from .runtime import enable_compilation_cache, profile_trace, device_platform
+
+__all__ = ["enable_compilation_cache", "profile_trace", "device_platform"]
