@@ -118,6 +118,7 @@ def save_wav_signal(signal, filename: Path, signal_sample_rate, output_sample_ra
     enhance.py:293-347; WAV instead of FLAC here)."""
     from scipy.io import wavfile
 
+    filename.parent.mkdir(parents=True, exist_ok=True)
     signal = resample(signal, signal_sample_rate, output_sample_rate, axis=0)
     if do_scale_signal:
         max_value = np.max(np.abs(signal))
@@ -129,7 +130,6 @@ def save_wav_signal(signal, filename: Path, signal_sample_rate, output_sample_ra
         signal, n_clipped = clip_signal(signal, do_soft_clip)
         if n_clipped > 0:
             logger.warning("Writing %s: %d samples clipped", filename, n_clipped)
-    filename.parent.mkdir(parents=True, exist_ok=True)
     wavfile.write(str(filename.with_suffix(".wav")), int(output_sample_rate), to_16bit(signal))
 
 

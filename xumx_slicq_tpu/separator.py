@@ -119,9 +119,8 @@ class Separator:
             est = slicqt.backward(Yb, chunk_len)            # (4*B, C, L)
             return est.reshape(4, -1, est.shape[1], chunk_len)
 
-        fn = jax.jit(run, device=self.device) if self.device is not None else jax.jit(run)
-        self._chunk_fns[chunk_len] = fn
-        return fn
+        self._chunk_fns[chunk_len] = jax.jit(run)
+        return self._chunk_fns[chunk_len]
 
     # -- public API ----------------------------------------------------------
 
@@ -144,7 +143,8 @@ class Separator:
                 a = np.concatenate(
                     [a, np.zeros((*a.shape[:-1], chunk - (hi - lo)), a.dtype)], axis=-1
                 )
-            est = fn(self.params, self.batch_stats, jnp.asarray(a))
+            a = jnp.asarray(a) if self.device is None else jax.device_put(a, self.device)
+            est = fn(self.params, self.batch_stats, a)
             outs.append(np.asarray(est)[..., : hi - lo])
         return np.concatenate(outs, axis=-1)
 
