@@ -37,6 +37,9 @@ class Unmix:
         input_means: Optional[Sequence] = None,
         input_scales: Optional[Sequence] = None,
         wiener_iterations: int = 1,
+        hidden_size_1: int = 50,
+        hidden_size_2: int = 51,
+        time_filter_2: int = 4,
     ):
         self.realtime = realtime
         self.lstm = lstm
@@ -50,7 +53,11 @@ class Unmix:
                 )
             else:
                 self.specs.append(
-                    SlicedCDAESpec(nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime)
+                    SlicedCDAESpec(
+                        nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime,
+                        hidden_size_1=hidden_size_1, hidden_size_2=hidden_size_2,
+                        time_filter_2=time_filter_2,
+                    )
                 )
         self._input_means = input_means
         self._input_scales = input_scales

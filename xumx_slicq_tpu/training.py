@@ -283,6 +283,9 @@ def build_argparser():
     p.add_argument("--realtime", action="store_true", default=False)
     p.add_argument("--lstm", action="store_true", default=False)
     p.add_argument("--seq-dur", type=float, default=2.0)
+    p.add_argument("--hidden-size-1", type=int, default=50)
+    p.add_argument("--hidden-size-2", type=int, default=51)
+    p.add_argument("--time-filter-2", type=int, default=4)
     p.add_argument("--fscale", choices=("bark", "mel", "cqlog", "vqlog", "linear", "mrstft"), default="bark")
     p.add_argument("--fbins", type=int, default=262)
     p.add_argument("--fmin", type=float, default=32.9)
@@ -340,13 +343,24 @@ def training_main(argv=None):
     model = Unmix(
         shapes, realtime=args.realtime, lstm=args.lstm,
         input_means=scaler_mean, input_scales=scaler_std,
+        hidden_size_1=args.hidden_size_1, hidden_size_2=args.hidden_size_2,
+        time_filter_2=args.time_filter_2,
     )
     params, batch_stats = model.init(jax.random.PRNGKey(args.seed))
     if not args.quiet:
         print(f"model parameters: {model.num_params(params):,}")
 
-    # mesh + optimizer
-    n_dev = None if args.n_devices < 0 else args.n_devices
+    # mesh + optimizer: the dp axis must divide the batch
+    import jax as _jax
+
+    if args.n_devices < 0:
+        n_dev = len(_jax.devices())
+        while args.batch_size % n_dev != 0:
+            n_dev -= 1
+    else:
+        n_dev = args.n_devices
+        if args.batch_size % n_dev != 0:
+            raise ValueError(f"batch size {args.batch_size} not divisible by {n_dev} devices")
     mesh = make_mesh(n_dev)
     if not args.quiet:
         print(f"data-parallel mesh: {mesh.shape}")
