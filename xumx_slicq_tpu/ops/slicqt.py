@@ -81,12 +81,10 @@ class _BucketTables:
     f_start: int
     f_count: int
     M: int
-    # forward: gather from the half spectrum with Hermitian sign
-    fwd_idx: np.ndarray      # (F, M) int32 into [0, nh)
-    fwd_w_re: np.ndarray     # (F, M) float32: window for the real part
-    fwd_w_im: np.ndarray     # (F, M) float32: window * Hermitian sign
-    fwd_ramp: np.ndarray     # (2, M) complex64 phase ramp (parity, bin)
-    inv_ramp: np.ndarray     # (2, M) complex64
+    # forward: contiguous slices from the extended full spectrum
+    starts: np.ndarray       # (F,) int32: slice start into ft_ext
+    fwd_w: np.ndarray        # (2, F, M) complex64 fused analysis weights
+    inv_ramp: np.ndarray     # (2, M) complex64 synthesis arrange ramp
     w_pos: np.ndarray        # (F, M) float32: gd * M synthesis weights
     # mirror (negative-frequency) reconstruction for bins 1..nfreqs-2
     neg_lo: int              # first local bin index with a mirror
@@ -147,37 +145,42 @@ class SliCQT:
 
     def _build_bucket_tables(self):
         plan = self.plan
-        nn, nh = self.nn, self.nh
+        nn = self.nn
+        hhop = self.hhop
         tables: List[_BucketTables] = []
+        # slice-rotation phases: internally slices are kept in TEMPORAL
+        # order; the reference's rotated physical layout (slicing.py:53-58)
+        # is a circular shift by (3-2k)%4 quarters, equivalent to a
+        # per-parity spectral phase exp(-2i pi f shift / nn) folded into the
+        # analysis weights below (shift = 3*hhop even slices, hhop odd).
         for b in plan.buckets:
             M = b.M
             l2 = M // 2
-            roll = np.arange(M)
-            rolled = (roll + l2) % M  # fold the coefficient roll into the gather
-            idx_list, wre_list, wim_list, wpos_list = [], [], [], []
-            for j in range(b.f_start, b.f_start + b.f_count):
-                g = plan.g[j]
-                win = plan.wins[j]
-                gs = np.fft.fftshift(g)
-                idx_full = win[rolled]
-                w = gs[rolled].astype(np.float32)
-                # Hermitian access into the rfft half-spectrum
-                half = np.where(idx_full < nh, idx_full, nn - idx_full).astype(np.int32)
-                sign = np.where(idx_full < nh, 1.0, -1.0).astype(np.float32)
-                idx_list.append(half)
-                wre_list.append(w)
-                wim_list.append(w * sign)
-                wpos_list.append((plan.gd[j] * np.float32(M)).astype(np.float32))
-
-            # phase ramps: analysis applies roll(c, -r) after the iFFT with
-            # r = 3M/4 (even slices) / M/4 (odd) (slicq.py arrange fwd);
-            # realized as ifft(T * exp(+2i pi k r / M)).
+            rolled = (np.arange(M) + l2) % M  # coefficient roll (nsgtf.py:55-63)
             k = np.arange(M)
             r_even, r_odd = 3 * M // 4, M // 4
+            # analysis arrange ramp (slicq.py arrange fwd): ifft(T * e^{+2i pi k r/M})
             fwd_ramp = np.stack([
                 np.exp(2j * np.pi * k * r_even / M),
                 np.exp(2j * np.pi * k * r_odd / M),
-            ]).astype(np.complex64)
+            ])
+            starts_list, w_list, wpos_list = [], [], []
+            for j in range(b.f_start, b.f_start + b.f_count):
+                g = plan.g[j]
+                win = plan.wins[j]
+                gs = np.fft.fftshift(g).astype(np.float64)
+                base = int(win[0])
+                starts_list.append(base)
+                idx_full = win[rolled]          # absolute spectrum positions
+                w = gs[rolled]
+                # rotation phase per parity at each tap's spectrum position
+                rot = np.stack([
+                    np.exp(-2j * np.pi * idx_full * (3 * hhop) / nn),
+                    np.exp(-2j * np.pi * idx_full * (1 * hhop) / nn),
+                ])
+                w_list.append(w[None, :] * fwd_ramp * rot)  # (2, M)
+                wpos_list.append((plan.gd[j] * np.float32(M)).astype(np.float32))
+
             # synthesis arrange is the inverse roll (r swapped), folded into
             # the post-FFT spectrum: fft(roll(x, -r))[k] = fft(x)[k]*e^{2i pi k r/M}
             inv_ramp = np.stack([
@@ -202,10 +205,8 @@ class SliCQT:
                 f_start=b.f_start,
                 f_count=b.f_count,
                 M=M,
-                fwd_idx=np.stack(idx_list),
-                fwd_w_re=np.stack(wre_list),
-                fwd_w_im=np.stack(wim_list),
-                fwd_ramp=fwd_ramp,
+                starts=np.asarray(starts_list, np.int32),
+                fwd_w=np.stack(w_list).transpose(1, 0, 2).astype(np.complex64),
                 inv_ramp=inv_ramp,
                 w_pos=np.stack(wpos_list),
                 neg_lo=neg_lo,
@@ -213,6 +214,13 @@ class SliCQT:
                 w_neg=wneg,
             ))
         self.buckets = tables
+        self.maxM = max(b.M for b in tables)
+        # synthesis un-rotation: physical->temporal spectral phase per parity
+        p = np.arange(self.nh)
+        self._unrot = np.stack([
+            np.exp(2j * np.pi * p * (3 * self.hhop) / nn),
+            np.exp(2j * np.pi * p * (1 * self.hhop) / nn),
+        ]).astype(np.complex64)
 
     def _build_inverse_gather(self):
         """Convert the synthesis scatter-add into a gather table.
@@ -279,42 +287,61 @@ class SliCQT:
 
     # -- forward -------------------------------------------------------------
 
-    def slice_signal(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, C, L) -> windowed slices (B, C, S, sllen) in the reference's
-        rotated physical layout (slicing.py:51-72)."""
+    def _slice_temporal(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, L) -> windowed slices (B, C, S, sllen) in TEMPORAL order.
+
+        Pure reshape + two strided views + one concat -- no gather. The
+        reference's rotated physical layout is recovered spectrally via the
+        per-parity rotation phases baked into the analysis weights."""
         B, C, L = x.shape
         hhop = self.hhop
         nb = -(-L // hhop)
         S = (nb + 1) // 2 + 1
-        pad = nb * hhop - L
-        xb = jnp.pad(x, ((0, 0), (0, 0), (2 * hhop, pad + 3 * hhop)))
-        blocks = xb.reshape(B, C, nb + 5, hhop)
+        total = (2 * S + 2) * hhop                 # blocks 0..2S+1 (2 lead zeros)
+        xb = jnp.pad(x, ((0, 0), (0, 0), (2 * hhop, total - 2 * hhop - L)))
+        Y = xb.reshape(B, C, S + 1, 2 * hhop)
+        raw = jnp.concatenate([Y[:, :, :-1], Y[:, :, 1:]], axis=-1)  # (B,C,S,4*hhop)
+        return raw * jnp.asarray(self._slice_window)
 
-        k = np.arange(S)
-        perm = _FWD_QUARTER_PERM[k % 2]                      # (S, 4) temporal idx
-        block_idx = 2 * k[:, None] + perm                    # (S, 4)
-        tw = self._slice_window.reshape(4, hhop)[perm]       # (S, 4, hhop)
-        sl = blocks[:, :, block_idx, :] * jnp.asarray(tw)    # (B, C, S, 4, hhop)
-        return sl.reshape(B, C, S, 4 * hhop)
+    def slice_signal(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Reference-layout (rotated) slices (slicing.py:51-72) -- kept for
+        golden-parity tests; internal compute uses _slice_temporal."""
+        sl = self._slice_temporal(x)
+        hhop = self.hhop
+        out = sl
+        out = out.at[:, :, 0::2].set(jnp.roll(sl[:, :, 0::2], 3 * hhop, axis=-1))
+        out = out.at[:, :, 1::2].set(jnp.roll(sl[:, :, 1::2], hhop, axis=-1))
+        return out
 
     def forward(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         """Analysis: (B, C, L) float -> list of (B, C, F_b, S, M_b) complex64.
 
         Matches the reference pipeline slicing -> nsgtf_sl -> arrange
-        (slicq.py:182-196) with all bin loops compiled to bucket gathers."""
-        slices = self.slice_signal(x)                        # (B,C,S,nn)
-        ft = jnp.fft.rfft(slices, axis=-1)                   # (B,C,S,nh)
-        B, C, S = ft.shape[:3]
+        (slicq.py:182-196): temporal slicing, one batched rFFT, then per
+        bucket a contiguous-slice grab from the extended full spectrum, a
+        fused complex-weight multiply (window x coefficient roll x arrange
+        ramp x slice-rotation phase), and one batched iFFT."""
+        slices = self._slice_temporal(x)                     # (B,C,S,nn)
+        ft_r = jnp.fft.rfft(slices, axis=-1)                 # (B,C,S,nh)
+        # full spectrum + circular extension for contiguous window slices
+        ft_full = jnp.concatenate(
+            [ft_r, jnp.conj(ft_r[..., 1:-1])[..., ::-1]], axis=-1
+        )
+        ft_ext = jnp.concatenate([ft_full, ft_full[..., : self.maxM]], axis=-1)
+        B, C, S = ft_r.shape[:3]
         parity = np.arange(S) % 2                            # (S,)
 
         out = []
         for b in self.buckets:
-            t = ft[..., jnp.asarray(b.fwd_idx)]              # (B,C,S,F,M)
-            T = (t.real * jnp.asarray(b.fwd_w_re)
-                 + 1j * (t.imag * jnp.asarray(b.fwd_w_im)))
-            ramp = jnp.asarray(b.fwd_ramp)[parity]           # (S,M)
-            T = T * ramp[None, None, :, None, :]
-            c = jnp.fft.ifft(T, axis=-1)                     # (B,C,S,F,M)
+            M = b.M
+            l2 = M // 2
+            grab = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(ft_ext, s, M, axis=3),
+                out_axes=3,
+            )(jnp.asarray(b.starts))                         # (B,C,S,F,M)
+            t = jnp.concatenate([grab[..., l2:], grab[..., :l2]], axis=-1)
+            W = jnp.asarray(b.fwd_w)[parity]                 # (S,F,M)
+            c = jnp.fft.ifft(t * W[None, None], axis=-1)     # (B,C,S,F,M)
             out.append(jnp.moveaxis(c, 3, 2))                # (B,C,F,S,M)
         return out
 
@@ -348,24 +375,20 @@ class SliCQT:
 
         V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
         fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
+        # physical->temporal slice un-rotation as a spectral phase
+        parity = np.arange(S) % 2
+        fr = fr * jnp.asarray(self._unrot)[parity][None, None]
         sig_slices = jnp.fft.irfft(fr, n=self.sllen, axis=-1)          # (B,C,S,nn)
         return self.unslice_signal(sig_slices, length)
 
     def unslice_signal(self, sig_slices: jnp.ndarray, length: int) -> jnp.ndarray:
-        """Overlap-add slice reassembly (unslicing.py:33-69, usewindow=False),
-        including the 2-block head drop (slicq.py:218) and truncation."""
+        """Overlap-add reassembly of TEMPORAL-order slices (the reference's
+        slicequads un-rotation, unslicing.py:6-30, is subsumed by the
+        spectral un-rotation phase in backward): two strided adds, the
+        2-block head drop (slicq.py:218), and truncation."""
         B, C, S, _ = sig_slices.shape
         hhop = self.hhop
-        quads_phys = sig_slices.reshape(B, C, S, 4, hhop)
-        k = np.arange(S)
-        perm = _FWD_QUARTER_PERM[k % 2]                      # temporal q -> phys (q+..)%4
-        # quad[k, q] (temporal order) = phys[k, perm_inv]; perm here maps
-        # phys p -> temporal, and its inverse is the slicequads table
-        # (unslicing.py:19-28). Gather temporal quarters directly:
-        inv_perm = np.argsort(perm, axis=1)                  # (S,4): temporal q -> phys p
-        quads = jnp.take_along_axis(
-            quads_phys, jnp.asarray(inv_perm)[None, None, :, :, None], axis=3
-        )
+        quads = sig_slices.reshape(B, C, S, 4, hhop)
         # output block m' (after dropping 2): quad[m'//2, m'%2 + 2] + quad[(m'+2)//2, m'%2]
         P1 = quads[:, :, :, 2:4, :].reshape(B, C, 2 * S * hhop)
         P2 = quads[:, :, 1:, 0:2, :].reshape(B, C, 2 * (S - 1) * hhop)
