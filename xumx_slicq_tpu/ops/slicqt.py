@@ -335,11 +335,9 @@ class SliCQT:
         for b in self.buckets:
             M = b.M
             l2 = M // 2
-            grab = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(ft_ext, s, M, axis=3),
-                out_axes=3,
-            )(jnp.asarray(b.starts))                         # (B,C,S,F,M)
-            t = jnp.concatenate([grab[..., l2:], grab[..., :l2]], axis=-1)
+            # static index table: contiguous circular window slice + roll
+            idx = (b.starts[:, None] + ((np.arange(M) + l2) % M)[None, :]).astype(np.int32)
+            t = ft_ext[..., jnp.asarray(idx)]                # (B,C,S,F,M)
             W = jnp.asarray(b.fwd_w)[parity]                 # (S,F,M)
             c = jnp.fft.ifft(t * W[None, None], axis=-1)     # (B,C,S,F,M)
             out.append(jnp.moveaxis(c, 3, 2))                # (B,C,F,S,M)

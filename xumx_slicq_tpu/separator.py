@@ -128,13 +128,16 @@ class Separator:
         return self.forward(audio)
 
     def forward(self, audio_big: np.ndarray) -> np.ndarray:
-        """audio_big: (B, C, N) -> stacked estimates (4, B, C, N)."""
+        """audio_big: (B, C, N) -> stacked estimates (4, B, C, N).
+
+        All chunks are dispatched asynchronously before any result is
+        fetched, so host<->device transfers overlap with execution."""
         B, C, N = audio_big.shape
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
 
         fn = self._chunk_fn(chunk)
-        outs = []
+        pend = []
         for ci in range(nchunks):
             lo = ci * chunk
             hi = min(lo + chunk, N)
@@ -144,9 +147,10 @@ class Separator:
                     [a, np.zeros((*a.shape[:-1], chunk - (hi - lo)), a.dtype)], axis=-1
                 )
             a = jnp.asarray(a) if self.device is None else jax.device_put(a, self.device)
-            est = fn(self.params, self.batch_stats, a)
-            outs.append(np.asarray(est)[..., : hi - lo])
-        return np.concatenate(outs, axis=-1)
+            pend.append((fn(self.params, self.batch_stats, a), hi - lo))
+        return np.concatenate(
+            [np.asarray(est)[..., :n] for est, n in pend], axis=-1
+        )
 
     def warmup(self, reps: int = 1, duration_s: float = 100.0):
         """Compile/execute on random audio (reference separator.py:83-91)."""
