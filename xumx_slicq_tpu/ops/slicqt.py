@@ -86,6 +86,8 @@ class _BucketTables:
     fwd_w: np.ndarray        # (2, F, M) complex64 fused analysis weights
     inv_ramp: np.ndarray     # (2, M) complex64 synthesis arrange ramp
     w_pos: np.ndarray        # (F, M) float32: gd * M synthesis weights
+    dft_inv: np.ndarray      # (M, M) complex64 iDFT matrix (analysis)
+    dft_fwd: np.ndarray      # (M, M) complex64 DFT matrix (synthesis)
     # mirror (negative-frequency) reconstruction for bins 1..nfreqs-2
     neg_lo: int              # first local bin index with a mirror
     neg_hi: int              # one-past-last local bin index with a mirror
@@ -201,6 +203,13 @@ class SliCQT:
             else:
                 wneg, neg_lo, neg_hi = None, 0, 0
 
+            # per-bucket (i)FFTs over the ragged sizes M (multiples of 4 with
+            # arbitrary prime factors) are replaced by one shared DFT matmul
+            # per bucket: exact, MXU-resident, and far fewer HLO ops.
+            mn = np.outer(np.arange(M), np.arange(M))
+            dft_inv = (np.exp(2j * np.pi * mn / M) / M).astype(np.complex64)
+            dft_fwd = np.exp(-2j * np.pi * mn / M).astype(np.complex64)
+
             tables.append(_BucketTables(
                 f_start=b.f_start,
                 f_count=b.f_count,
@@ -209,6 +218,8 @@ class SliCQT:
                 fwd_w=np.stack(w_list).transpose(1, 0, 2).astype(np.complex64),
                 inv_ramp=inv_ramp,
                 w_pos=np.stack(wpos_list),
+                dft_inv=dft_inv,
+                dft_fwd=dft_fwd,
                 neg_lo=neg_lo,
                 neg_hi=neg_hi,
                 w_neg=wneg,
@@ -221,6 +232,64 @@ class SliCQT:
             np.exp(2j * np.pi * p * (3 * self.hhop) / nn),
             np.exp(2j * np.pi * p * (1 * self.hhop) / nn),
         ]).astype(np.complex64)
+        self._plan_slice_fft()
+
+    def _plan_slice_fft(self):
+        """Mixed-radix plan for the length-nn slice (i)FFT.
+
+        nn = sllen typically has large non-smooth prime factors (canonical
+        18060 = 2^2*3*5*7*43), which XLA's TPU FFT handles badly (Bluestein)
+        or not at all. Factor nn = smooth * rest with smooth containing only
+        {2,3,5}: the smooth part runs as a native FFT, the rest as a DFT
+        matmul on the MXU (Cooley-Tukey split, exact). Falls back to native
+        rfft/irfft when `rest` is 1 or too large."""
+        nn = self.nn
+        smooth = 1
+        rest = nn
+        for p in (2, 3, 5):
+            while rest % p == 0:
+                smooth *= p
+                rest //= p
+        self._ct = None
+        if rest == 1 or rest > 512:
+            return
+        n1, n2 = smooth, rest          # k = k1 + n1*k2 ; n = n2*a + b
+        # analysis: X[k1 + n1 k2] = sum_b W2[k2,b] * tw*[k1,b] * FFT1_a(x[n2 a + b])[k1]
+        # synthesis: x[n2 a + b] = iFFT1_k1( tw[k1,b] * sum_k2 W2i[b,k2] X[k1 + n1 k2] )[a]
+        k2b = np.outer(np.arange(n2), np.arange(n2))
+        self._ct = dict(
+            n1=n1, n2=n2,
+            W2=np.exp(-2j * np.pi * k2b / n2).astype(np.complex64),          # (k2, b)
+            W2i=(np.exp(2j * np.pi * k2b / n2) / n2).astype(np.complex64),   # (b, k2)
+            tw=np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / nn).astype(np.complex64),  # (k1, b)
+        )
+
+    def _fft_full(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Full complex spectrum of real slices (..., nn)."""
+        if self._ct is None:
+            ft_r = jnp.fft.rfft(x, axis=-1)
+            return jnp.concatenate([ft_r, jnp.conj(ft_r[..., 1:-1])[..., ::-1]], axis=-1)
+        ct = self._ct
+        n1, n2 = ct["n1"], ct["n2"]
+        # x[n2*a + b] -> (..., a, b)
+        xr = x.reshape(*x.shape[:-1], n1, n2)
+        F1 = jnp.fft.fft(xr, axis=-2)                                    # over a -> k1
+        F1 = F1 * jnp.conj(jnp.asarray(ct["tw"]))                        # (k1, b)
+        X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ct["W2"]))     # over b -> k2; out (..., k2, k1)
+        return X.reshape(*x.shape[:-1], n1 * n2)                          # k = k1 + n1*k2
+
+    def _irfft(self, fr: jnp.ndarray) -> jnp.ndarray:
+        """Real inverse of a half spectrum (..., nh) -> (..., nn)."""
+        if self._ct is None:
+            return jnp.fft.irfft(fr, n=self.nn, axis=-1)
+        full = jnp.concatenate([fr, jnp.conj(fr[..., 1:-1])[..., ::-1]], axis=-1)
+        ct = self._ct
+        n1, n2 = ct["n1"], ct["n2"]
+        Xr = full.reshape(*full.shape[:-1], n2, n1)                       # (k2, k1)
+        Z = jnp.einsum("bc,...ck->...kb", jnp.asarray(ct["W2i"]), Xr)     # over k2 -> b; out (k1, b)
+        Z = Z * jnp.asarray(ct["tw"])
+        z = jnp.fft.ifft(Z, axis=-2)                                      # over k1 -> a
+        return jnp.real(z).reshape(*full.shape[:-1], n1 * n2)             # n = n2*a + b
 
     def _build_inverse_gather(self):
         """Convert the synthesis scatter-add into a gather table.
@@ -322,13 +391,9 @@ class SliCQT:
         fused complex-weight multiply (window x coefficient roll x arrange
         ramp x slice-rotation phase), and one batched iFFT."""
         slices = self._slice_temporal(x)                     # (B,C,S,nn)
-        ft_r = jnp.fft.rfft(slices, axis=-1)                 # (B,C,S,nh)
-        # full spectrum + circular extension for contiguous window slices
-        ft_full = jnp.concatenate(
-            [ft_r, jnp.conj(ft_r[..., 1:-1])[..., ::-1]], axis=-1
-        )
+        ft_full = self._fft_full(slices)                     # (B,C,S,nn)
         ft_ext = jnp.concatenate([ft_full, ft_full[..., : self.maxM]], axis=-1)
-        B, C, S = ft_r.shape[:3]
+        B, C, S = ft_full.shape[:3]
         parity = np.arange(S) % 2                            # (S,)
 
         out = []
@@ -339,7 +404,7 @@ class SliCQT:
             idx = (b.starts[:, None] + ((np.arange(M) + l2) % M)[None, :]).astype(np.int32)
             t = ft_ext[..., jnp.asarray(idx)]                # (B,C,S,F,M)
             W = jnp.asarray(b.fwd_w)[parity]                 # (S,F,M)
-            c = jnp.fft.ifft(t * W[None, None], axis=-1)     # (B,C,S,F,M)
+            c = jnp.einsum("bcsfm,mn->bcsfn", t * W[None, None], jnp.asarray(b.dft_inv))
             out.append(jnp.moveaxis(c, 3, 2))                # (B,C,F,S,M)
         return out
 
@@ -357,7 +422,9 @@ class SliCQT:
         specs = []
         for b, cb in zip(self.buckets, blocks):
             c = jnp.moveaxis(cb, 2, 3)                       # (B,C,S,F,M)
-            spec = jnp.fft.fft(c.astype(jnp.complex64), axis=-1)
+            spec = jnp.einsum(
+                "bcsfm,mn->bcsfn", c.astype(jnp.complex64), jnp.asarray(b.dft_fwd)
+            )
             ramp = jnp.asarray(b.inv_ramp)[parity]           # (S,M)
             spec = spec * ramp[None, None, :, None, :]
             specs.append(spec)
@@ -376,7 +443,7 @@ class SliCQT:
         # physical->temporal slice un-rotation as a spectral phase
         parity = np.arange(S) % 2
         fr = fr * jnp.asarray(self._unrot)[parity][None, None]
-        sig_slices = jnp.fft.irfft(fr, n=self.sllen, axis=-1)          # (B,C,S,nn)
+        sig_slices = self._irfft(fr)                                   # (B,C,S,nn)
         return self.unslice_signal(sig_slices, length)
 
     def unslice_signal(self, sig_slices: jnp.ndarray, length: int) -> jnp.ndarray:
