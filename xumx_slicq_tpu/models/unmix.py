@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import wiener as wiener_ops
 from .cdae import NB_TARGETS, SlicedCDAESpec, apply_cdae, init_cdae_batch_stats, init_cdae_params
+from .cdae_merged import apply_cdae_merged, build_merged_plan
 from .lstm import SlicedLSTMSpec, apply_lstm, init_lstm_batch_stats, init_lstm_params
 
 
@@ -40,10 +41,13 @@ class Unmix:
         hidden_size_1: int = 50,
         hidden_size_2: int = 51,
         time_filter_2: int = 4,
+        merge_small_blocks: bool = True,
     ):
         self.realtime = realtime
         self.lstm = lstm
         self.wiener_iterations = wiener_iterations
+        self.merge_small_blocks = merge_small_blocks and not realtime and not lstm
+        self._merged_plan = None
         self.specs: List = []
         for shape in block_shapes:
             _, C, F, S, T = shape
@@ -99,12 +103,43 @@ class Unmix:
         Returns (Ycomplex list of (4, B, C, F, S, T) complex,
                  Ymasks list of (4, B, C, F, S, T) float,
                  new_batch_stats)."""
+        n = len(self.specs)
+        masks_per_block: List = [None] * n
+        stats_per_block: List = [None] * n
+
+        merged_ids: List[int] = []
+        if self.merge_small_blocks:
+            if self._merged_plan is None:
+                self._merged_plan = build_merged_plan(self.specs)
+            plan = self._merged_plan
+            merged_ids = plan.block_ids
+            if len(merged_ids) >= 2:
+                Tp = plan.Tp
+                xm = jnp.concatenate([
+                    jnp.pad(jnp.abs(Xcomplex[i]),
+                            ((0, 0), (0, 0), (0, 0), (0, 0), (0, Tp - Xcomplex[i].shape[-1])))
+                    for i in merged_ids
+                ], axis=2)                               # (B,C,Fm,S,Tp)
+                masks_m, small_stats = apply_cdae_merged(
+                    params["blocks"], batch_stats["blocks"], xm, plan, train=train
+                )
+                for local, i in enumerate(merged_ids):
+                    off, F = plan.f_slices[local]
+                    T = self.specs[i].nb_t_bins
+                    masks_per_block[i] = masks_m[:, :, :, off: off + F, :, :T]
+                    stats_per_block[i] = small_stats[local]
+            else:
+                merged_ids = []
+
         Ycomplex = []
         Ymasks = []
-        new_stats = []
-        for spec, p, bn, Xb in zip(self.specs, params["blocks"], batch_stats["blocks"], Xcomplex):
+        for i, (spec, p, bn, Xb) in enumerate(
+            zip(self.specs, params["blocks"], batch_stats["blocks"], Xcomplex)
+        ):
             Xmag = jnp.abs(Xb)
-            if self.lstm:
+            if masks_per_block[i] is not None:
+                masks, nbn = masks_per_block[i], stats_per_block[i]
+            elif self.lstm:
                 masks, nbn = apply_lstm(p, bn, Xmag, spec, train=train)
             else:
                 masks, nbn = apply_cdae(p, bn, Xmag, spec, train=train)
@@ -115,8 +150,8 @@ class Unmix:
                 Yb = wiener_ops.blockwise_wiener(Xb, Ymag, self.wiener_iterations)
             Ycomplex.append(Yb)
             Ymasks.append(masks)
-            new_stats.append(nbn)
-        return Ycomplex, Ymasks, {"blocks": new_stats}
+            stats_per_block[i] = nbn
+        return Ycomplex, Ymasks, {"blocks": stats_per_block}
 
     # -- info ----------------------------------------------------------------
 

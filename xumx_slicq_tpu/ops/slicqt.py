@@ -35,7 +35,6 @@ matching the reference's measured ~3e-7 (fp64 windows).
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -67,11 +66,10 @@ def _make_slice_window(sl_len: int, tr_area: int) -> np.ndarray:
     return tw.astype(np.float32)
 
 
-# physical-position -> temporal-quarter permutation, per slice parity.
-# slicing.py:53-58 places temporal quarter i at physical position
-# (i + 3 - 2k) % 4; inverting: even slices phys p holds temporal (p+1)%4,
-# odd slices phys p holds temporal (p+3)%4.
-_FWD_QUARTER_PERM = np.array([[1, 2, 3, 0], [3, 0, 1, 2]], dtype=np.int64)
+# The reference places temporal quarter i of slice k at physical position
+# (i + 3 - 2k) % 4 (slicing.py:53-58) -- a circular shift by (3-2k)%4
+# quarters. Internally slices stay in temporal order; the shift is realized
+# as per-parity spectral phases baked into the analysis/synthesis weights.
 
 
 @dataclass(frozen=True)
