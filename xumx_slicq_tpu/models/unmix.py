@@ -41,8 +41,13 @@ class Unmix:
         hidden_size_1: int = 50,
         hidden_size_2: int = 51,
         time_filter_2: int = 4,
-        merge_small_blocks: bool = True,
+        merge_small_blocks: bool = False,
     ):
+        # NOTE: the fused small-block engine (cdae_merged.py) is numerically
+        # equivalent but currently lowers poorly on TPU (its per-bin
+        # take_along_axis gathers and weight-expanded einsums are ~9x slower
+        # than the per-block grouped convs in one executable); it stays
+        # opt-in until the gathers are restructured.
         self.realtime = realtime
         self.lstm = lstm
         self.wiener_iterations = wiener_iterations
