@@ -106,10 +106,46 @@ def init_cdae_batch_stats(spec: SlicedCDAESpec) -> dict:
     }
 
 
-def _single_target_cdae(x, p, bn, spec: SlicedCDAESpec, train: bool):
-    """One target's CDAE on whitened magnitude x: (B, C, F, S*T) -> mask."""
-    T = spec.nb_t_bins
+def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> jnp.ndarray:
+    """Final transposed conv (kernel (fphi, T), stride (1, T/2)) as a
+    per-frame einsum + static-slice overlap-add.
+
+    XLA lowers strided conv_transpose via lhs_dilation -- for the
+    time-kernel T with hop T/2 that convolves a mostly-zero dilated input
+    and dominates the whole network's runtime. The 50% hop means every
+    output sample receives exactly one even-frame and one odd-frame
+    contribution, so the overlap-add is two static shifted adds.
+
+    h: (B, H, F', K) frame features; w: (H, C, fphi, T) torch CT layout.
+    Returns (B, C, F'+fphi-1, S, T)."""
+    B, H, Fp, K = h.shape
+    fphi, T = w.shape[2], w.shape[3]
     hop = T // 2
+
+    # frequency-axis transpose conv: y[f] = sum_df w[df] h[f-df]
+    F_out = Fp + fphi - 1
+    hp = jnp.pad(h, ((0, 0), (0, 0), (fphi - 1, fphi - 1), (0, 0)))
+    v = jnp.stack([hp[:, :, fphi - 1 - d: fphi - 1 - d + F_out] for d in range(fphi)], axis=3)
+    seg = jnp.einsum("bhfdk,hcdt->bcfkt", v, w)            # (B,C,F_out,K,T)
+
+    # time overlap-add at hop T/2: frame 2s covers slice s fully; frame
+    # 2s+1 covers slice s [T/2,T) then slice s+1 [0,T/2)
+    K2 = 2 * S
+    seg = jnp.pad(seg, ((0, 0), (0, 0), (0, 0), (0, K2 - K), (0, 0)))
+    seg = seg.reshape(B, seg.shape[1], F_out, S, 2, T)
+    even = seg[..., 0, :]
+    odd = seg[..., 1, :]
+    y = even
+    y = y.at[..., hop:].add(odd[..., :hop])
+    y = y.at[:, :, :, 1:, :hop].add(odd[:, :, :, :-1, hop:])
+    return y
+
+
+def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
+    """One target's CDAE on whitened magnitude x5: (B, C, F, S, T) -> mask."""
+    B, C, F, S, T = x5.shape
+    hop = T // 2
+    x = x5.reshape(B, C, F, S * T)
 
     if spec.realtime:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (T - 1, 0)))
@@ -125,9 +161,9 @@ def _single_target_cdae(x, p, bn, spec: SlicedCDAESpec, train: bool):
     h, bn3 = batch_norm(h, p["bn3"], bn["bn3"], train)
     h = jax.nn.relu(h)
 
-    h = conv_transpose2d(h, p["dec2_w"], stride=(1, hop))
-    h = h + p["dec2_b"][None, :, None, None]
-    mask = jax.nn.sigmoid(h)
+    y = _dec2_ola(h, p["dec2_w"], spec, S)
+    y = y + p["dec2_b"][None, :, None, None, None]
+    mask = jax.nn.sigmoid(y)
     return mask, {"bn1": bn1, "bn2": bn2, "bn3": bn3}
 
 
@@ -137,10 +173,9 @@ def apply_cdae(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
     x_mag: (B, C, F, S, T) magnitude of the mixture block.
     Returns (masks (4, B, C, F, S, T), new_batch_stats)."""
     B, C, F, S, T = x_mag.shape
-    x = x_mag.reshape(B, C, F, S * T)
 
     # whitening: per-frequency learned shift/scale (model.py:239-242)
-    x = (x + params["input_mean"][None, None, :, None]) * params["input_scale"][None, None, :, None]
+    x = (x_mag + params["input_mean"][None, None, :, None, None]) * params["input_scale"][None, None, :, None, None]
 
     target_params = {
         k: params[k]
@@ -151,6 +186,4 @@ def apply_cdae(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
         return _single_target_cdae(x, p, bn, spec, train)
 
     masks, new_bn = jax.vmap(per_target)(target_params, batch_stats)
-    # crop (the transpose conv can overshoot in time) and restore slice axis
-    masks = masks[..., :F, : S * T].reshape(NB_TARGETS, B, C, F, S, T)
     return masks, new_bn
