@@ -56,40 +56,36 @@ def main():
     n = int(track_seconds * sr)
     audio = (rng.standard_normal((1, 2, n)) * 0.1).astype(np.float32)
 
-    # stage the track's chunks into device memory
+    # stage the track's chunks into device memory as ONE batched array
+    # (all chunks of a track run in a single device call, as the Separator's
+    # chunk-batching path does)
     nchunks = -(-n // chunk)
     t0 = time.time()
-    chunks_dev = []
+    flat = np.zeros((nchunks, 2, chunk), np.float32)
     for ci in range(nchunks):
-        a = audio[..., ci * chunk: (ci + 1) * chunk]
-        if a.shape[-1] < chunk:
-            a = np.concatenate([a, np.zeros((*a.shape[:-1], chunk - a.shape[-1]), a.dtype)], -1)
-        chunks_dev.append(jax.device_put(a, dev))
-    # force staging to finish
-    for c in chunks_dev:
-        np.asarray(checksum(c))
+        a = audio[0, :, ci * chunk: (ci + 1) * chunk]
+        flat[ci, :, : a.shape[-1]] = a
+    track_dev = jax.device_put(flat, dev)
+    np.asarray(checksum(track_dev))
     h2d_s = time.time() - t0
 
     # warmup / compile
     t0 = time.time()
-    np.asarray(checksum(fn(sep.params, sep.batch_stats, chunks_dev[0])))
+    np.asarray(checksum(fn(sep.params, sep.batch_stats, track_dev)))
     compile_s = time.time() - t0
 
     # timed: device execution of the full track (scalar checksum forces it)
     times = []
     for _ in range(3):
         t0 = time.time()
-        ests = [fn(sep.params, sep.batch_stats, c) for c in chunks_dev]
-        sums = [checksum(e) for e in ests]
-        for s in sums:
-            np.asarray(s)
+        est = fn(sep.params, sep.batch_stats, track_dev)
+        np.asarray(checksum(est))
         times.append(time.time() - t0)
     value = float(min(times))
 
     # secondary: fetching the stems to host through the dev tunnel
     t0 = time.time()
-    for e in ests:
-        np.asarray(e)
+    np.asarray(est)
     d2h_s = time.time() - t0
 
     baseline = 2.08  # s/track, reference realtime model on RTX 3090 (README.md:157)

@@ -127,14 +127,31 @@ class Separator:
     def __call__(self, audio: np.ndarray) -> np.ndarray:
         return self.forward(audio)
 
+    _CHUNK_BATCH_BUCKETS = (1, 2, 4, 8)
+
     def forward(self, audio_big: np.ndarray) -> np.ndarray:
         """audio_big: (B, C, N) -> stacked estimates (4, B, C, N).
 
-        All chunks are dispatched asynchronously before any result is
-        fetched, so host<->device transfers overlap with execution."""
+        For a single track (B == 1) all chunks are folded into the batch
+        axis and processed in ONE device call (chunk counts padded to a
+        small bucket set to bound recompiles); otherwise chunks are
+        dispatched asynchronously so transfers overlap execution."""
         B, C, N = audio_big.shape
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
+
+        if B == 1 and nchunks > 1 and nchunks <= self._CHUNK_BATCH_BUCKETS[-1]:
+            nb = next(b for b in self._CHUNK_BATCH_BUCKETS if b >= nchunks)
+            flat = np.zeros((nb, C, chunk), audio_big.dtype)
+            for ci in range(nchunks):
+                lo = ci * chunk
+                hi = min(lo + chunk, N)
+                flat[ci, :, : hi - lo] = audio_big[0, :, lo:hi]
+            a = jnp.asarray(flat) if self.device is None else jax.device_put(flat, self.device)
+            fn = self._chunk_fn(chunk)
+            est = np.asarray(fn(self.params, self.batch_stats, a))  # (4, nb, C, chunk)
+            est = est[:, :nchunks].transpose(0, 2, 1, 3)            # (4, C, nchunks, chunk)
+            return est.reshape(4, 1, C, nchunks * chunk)[..., :N]
 
         fn = self._chunk_fn(chunk)
         pend = []
