@@ -15,3 +15,20 @@ precomputed gathers so the whole pipeline compiles to a single XLA program.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Separator":
+        from .separator import Separator
+
+        return Separator
+    if name == "SliCQT":
+        from .ops.slicqt import SliCQT
+
+        return SliCQT
+    if name == "Unmix":
+        from .models import Unmix
+
+        return Unmix
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
