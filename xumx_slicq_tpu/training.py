@@ -125,13 +125,15 @@ class AverageMeter:
 # ---------------------------------------------------------------------------
 
 
-def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Optional[int] = None):
+def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Optional[int] = None, window_s: float = 60.0):
     """Per-block, per-frequency mean/std of the mixture magnitude sliCQT
     over the dataset (reference training.py:115-154: StandardScaler
     partial_fit over (frames, F) rows of the channel-mean magnitude).
 
-    Runs the transform jitted per track-length bucket; accumulates running
-    count/sum/sumsq per frequency bin on host."""
+    Tracks are processed in fixed-size windows so only ONE transform shape
+    is ever compiled (the reference transforms each full variable-length
+    track; statistics over full-coverage windows are equivalent up to
+    window-boundary effects)."""
     n_blocks = len(slicqt.buckets)
     count = [0.0] * n_blocks
     s1 = [None] * n_blocks
@@ -141,14 +143,28 @@ def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Opti
     if max_tracks:
         n_tracks = min(n_tracks, max_tracks)
 
+    win = int(window_s * getattr(dataset, "sample_rate", 44100.0))
     fwd = jax.jit(lambda x: [jnp.abs(c) for c in slicqt.forward(x)])
+
+    def windows(x):
+        L = x.shape[-1]
+        if L <= win:
+            yield np.pad(x, ((0, 0), (0, 0), (0, win - L)))
+            return
+        pos = 0
+        while pos < L:
+            if pos + win > L:
+                pos = L - win  # final window aligned to the track end
+            yield x[..., pos: pos + win]
+            pos += win
 
     for ti in range(n_tracks):
         # deterministic full-track mixture (samples_per_track stride)
         item = dataset[ti * getattr(dataset, "samples_per_track", 1)]
         x = np.asarray(item[0], np.float32)[None]  # (1, C, L)
-        mags = fwd(jnp.asarray(x))
-        for i, m in enumerate(mags):
+        mag_parts = [fwd(jnp.asarray(w)) for w in windows(x)]
+        for i in range(n_blocks):
+            m = np.concatenate([np.asarray(p[i]) for p in mag_parts], axis=3)
             m = np.asarray(m)  # (1, C, F, S, T)
             flat = m.reshape(m.shape[0], m.shape[1], m.shape[2], -1).mean(1)  # (1,F,frames)
             rows = np.moveaxis(flat, 1, 2).reshape(-1, m.shape[2])  # (frames, F)
