@@ -86,6 +86,8 @@ def evaluation_main(argv=None):
                         choices=("jax-auto", "jax-tpu", "jax-cpu"))
     parser.add_argument("--shard", type=int, default=0)
     parser.add_argument("--num-shards", type=int, default=1)
+    parser.add_argument("--devices", type=int, default=1,
+                        help="round-robin tracks over this many local devices")
     parser.add_argument("--output-json", type=str, default=None,
                         help="write per-track scores JSON (shard merging)")
     parser.add_argument("--bss-on-device", action="store_true", default=False,
@@ -99,18 +101,33 @@ def evaluation_main(argv=None):
     if not tracks:
         raise ValueError("dataset is empty")
 
-    separator = Separator.load(
-        chunk_size=args.chunk_size,
-        runtime_backend=args.runtime_backend,
-        realtime=args.realtime,
-        model_path=args.model_path,
-    )
+    # one separator per local device; tracks round-robin across them
+    # (the multi-chip eval fan-out replacing the reference's CSV-shard
+    # pattern; combine with --shard/--num-shards for multi-host)
+    import jax as _jax
+
+    n_dev = max(1, min(args.devices, len(_jax.devices())))
+    separators = []
+    for di in range(n_dev):
+        sep = Separator.load(
+            chunk_size=args.chunk_size,
+            runtime_backend=args.runtime_backend,
+            realtime=args.realtime,
+            model_path=args.model_path,
+        )
+        if n_dev > 1:
+            dev = _jax.devices()[di]
+            sep.device = dev
+            sep.params = _jax.device_put(sep.params, dev)
+            sep.batch_stats = _jax.device_put(sep.batch_stats, dev)
+            sep._chunk_fns = {}
+        separators.append(sep)
 
     results = EvalStore()
     shard_json = []
-    for td in tracks:
+    for ti, td in enumerate(tracks):
         t0 = time.time()
-        ts = separate_and_evaluate(separator, td, use_jax=args.bss_on_device)
+        ts = separate_and_evaluate(separators[ti % n_dev], td, use_jax=args.bss_on_device)
         print(f"{ts}  [{time.time()-t0:.1f}s]")
         results.add_track(ts)
         shard_json.append(track_scores_to_json(ts))
