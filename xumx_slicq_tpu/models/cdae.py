@@ -141,15 +141,36 @@ def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> j
     return y
 
 
+def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int) -> jnp.ndarray:
+    """First conv (kernel (fphi, T), stride (1, T/2)) as frame extraction +
+    einsum (offline variant; same rationale as _dec2_ola -- the 50% hop
+    means frames are the slices themselves plus a two-slice interleave).
+
+    x5: (B, C, F, S, T); w: (H, C, fphi, T). Returns (B, H, F-fphi+1, 2S-1)."""
+    B, C, F, S, T = x5.shape
+    hop = T // 2
+    # odd frame s spans slice s [T/2,T) then slice s+1 [0,T/2)
+    odd = jnp.concatenate([x5[:, :, :, :-1, hop:], x5[:, :, :, 1:, :hop]], axis=-1)
+    odd = jnp.pad(odd, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+    frames = jnp.stack([x5, odd], axis=4).reshape(B, C, F, 2 * S, T)[:, :, :, : 2 * S - 1]
+    if fphi == 1:
+        return jnp.einsum("bcfkt,oct->bofk", frames, w[:, :, 0])
+    Fp = F - fphi + 1
+    v = jnp.stack([frames[:, :, d: d + Fp] for d in range(fphi)], axis=3)  # (B,C,Fp,fphi,K,T)
+    return jnp.einsum("bcfdkt,ocdt->bofk", v, w)
+
+
 def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
     """One target's CDAE on whitened magnitude x5: (B, C, F, S, T) -> mask."""
     B, C, F, S, T = x5.shape
     hop = T // 2
-    x = x5.reshape(B, C, F, S * T)
 
     if spec.realtime:
+        x = x5.reshape(B, C, F, S * T)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (T - 1, 0)))
-    h = conv2d(x, p["enc1_w"], stride=(1, hop))
+        h = conv2d(x, p["enc1_w"], stride=(1, hop))
+    else:
+        h = _enc1_frames(x5, p["enc1_w"], spec.freq_filter)
     h, bn1 = batch_norm(h, p["bn1"], bn["bn1"], train)
     h = jax.nn.relu(h)
 
