@@ -24,7 +24,10 @@ COMBINATIONS = _C1 + _C2 + _C3  # 14 X-UMX combinations
 
 def _inner_complex_mse(pred, target):
     d = pred - target
-    return jnp.mean(jnp.abs(d) ** 2) / 2.0
+    # real^2+imag^2, not jnp.abs(d)**2: abs's VJP is NaN at d == 0, which
+    # happens wherever prediction matches the target exactly (e.g. the
+    # all-zero coefficients of padded/silent audio).
+    return jnp.mean(d.real ** 2 + d.imag ** 2) / 2.0
 
 
 def complex_mse_loss(pred_blocks: Sequence[jnp.ndarray], target_blocks: Sequence[jnp.ndarray]) -> jnp.ndarray:

@@ -26,6 +26,27 @@ import numpy as np
 _EPS = float(np.finfo(np.float32).eps)
 
 
+def _abs2(x: jnp.ndarray) -> jnp.ndarray:
+    """|x|^2 with finite gradients at x == 0.
+
+    jnp.abs(x)**2 composes abs's VJP (y/|y|, NaN at 0) with the square's,
+    yielding 0*NaN = NaN cotangents exactly at zero coefficients — which
+    occur in padded/silent audio. real^2+imag^2 is the same value with a
+    polynomial gradient everywhere."""
+    return x.real ** 2 + x.imag ** 2
+
+
+def _unit_phase(x: jnp.ndarray) -> jnp.ndarray:
+    """exp(i*angle(x)) with finite gradients at x == 0 (where it returns 1,
+    matching exp(i*angle(0)) == 1). jnp.angle's gradient at 0 is NaN; zero
+    coefficients occur in padded/silent audio, and one quiet batch would
+    abort training with a NaN loss (reference has the same torch.angle
+    exposure at norbert/__init__.py:230-240 — we don't match the landmine)."""
+    nonzero = _abs2(x) > 0.0
+    safe = jnp.where(nonzero, x, jnp.asarray(1.0, x.dtype))
+    return safe / jnp.sqrt(_abs2(safe))
+
+
 def _invert2x2(M: jnp.ndarray) -> jnp.ndarray:
     """Analytic inverse of (..., 2, 2) complex matrices
     (norbert/__init__.py:337-346)."""
@@ -63,7 +84,7 @@ def expectation_maximization(y: jnp.ndarray, x: jnp.ndarray, iterations: int = 2
         # local Gaussian model per source (norbert/__init__.py:458-494):
         # PSD v = mean |y|^2 over channels; spatial covariance R = weighted
         # empirical covariance accumulated over frames.
-        v = jnp.mean(jnp.abs(y) ** 2, axis=3)                        # (B,F,N,S)
+        v = jnp.mean(_abs2(y), axis=3)                               # (B,F,N,S)
         weight = jnp.sum(v, axis=1) + eps                            # (B,N,S)
         cov = jnp.einsum("bfncs,bfnds->bncds", y, y.conj())          # (B,N,C,C,S)
         R = cov / weight[:, :, None, None, :]                        # (B,N,C,C,S)
@@ -97,7 +118,7 @@ def wiener(v: jnp.ndarray, x: jnp.ndarray, iterations: int = 1, use_softmask: bo
     if use_softmask:
         y = softmask(v, x)
     else:
-        phase = jnp.exp(1j * jnp.angle(x))[..., None]
+        phase = _unit_phase(x)[..., None]
         y = v.astype(x.real.dtype) * phase
 
     if not iterations:
@@ -136,7 +157,7 @@ def blockwise_wiener(mix_block: jnp.ndarray, mag_est: jnp.ndarray, iterations: i
 def blockwise_phasemix_sep(mix_block: jnp.ndarray, mag_est: jnp.ndarray) -> jnp.ndarray:
     """Mix-phase reconstruction Y = mag * exp(i angle(X))
     (reference phase.py:96-113) -- the realtime model's post-filter."""
-    phase = jnp.exp(1j * jnp.angle(mix_block))
+    phase = _unit_phase(mix_block)
     return mag_est.astype(mix_block.real.dtype) * phase[None]
 
 
