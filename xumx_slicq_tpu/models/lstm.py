@@ -196,7 +196,7 @@ def apply_lstm(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
 
     target_params = {k: v for k, v in params.items() if k not in ("input_mean", "input_scale")}
 
-    def per_target(p, bn):
+    def per_target(p, bn, trng=None):
         new_bn = dict(bn)
         h = x_rows
         if spec.downsample:
@@ -204,7 +204,7 @@ def apply_lstm(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
             h, new_bn["bn1"] = _batch_norm1d(h, p["bn1"], bn["bn1"], train)
             h = jnp.tanh(h)
         h_seq = h.reshape(frames, B, h1)
-        lstm_out = _lstm_forward(h_seq, p["lstm"], spec.bidirectional, train, rng)
+        lstm_out = _lstm_forward(h_seq, p["lstm"], spec.bidirectional, train, trng)
         h_cat = jnp.concatenate([h_seq, lstm_out], axis=-1)
         h2 = h_cat.reshape(-1, h_cat.shape[-1])
         if spec.odd_lstm:
@@ -215,6 +215,15 @@ def apply_lstm(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
         h3 = jax.nn.sigmoid(h2 @ p["fc3_w"].T + p["fc3_b"])
         return h3, new_bn
 
-    masks, new_stats = jax.vmap(per_target)(target_params, batch_stats)
+    if train and rng is not None:
+        # independent dropout masks per target, as in torch where each
+        # target owns its own nn.LSTM(dropout=0.4) (reference model.py:345)
+        masks, new_stats = jax.vmap(per_target)(
+            target_params, batch_stats, jax.random.split(rng, NB_TARGETS)
+        )
+    else:
+        masks, new_stats = jax.vmap(lambda p, bn: per_target(p, bn, None))(
+            target_params, batch_stats
+        )
     masks = masks.reshape(NB_TARGETS, B, C, F, S, T)
     return masks, new_stats

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..ops import wiener as wiener_ops
 from .cdae import NB_TARGETS, SlicedCDAESpec, apply_cdae, init_cdae_batch_stats, init_cdae_params
-from .cdae_merged import apply_cdae_merged, build_merged_plan
 from .lstm import SlicedLSTMSpec, apply_lstm, init_lstm_batch_stats, init_lstm_params
 
 
@@ -41,18 +40,10 @@ class Unmix:
         hidden_size_1: int = 50,
         hidden_size_2: int = 51,
         time_filter_2: int = 4,
-        merge_small_blocks: bool = False,
     ):
-        # NOTE: the fused small-block engine (cdae_merged.py) is numerically
-        # equivalent but currently lowers poorly on TPU (its per-bin
-        # take_along_axis gathers and weight-expanded einsums are ~9x slower
-        # than the per-block grouped convs in one executable); it stays
-        # opt-in until the gathers are restructured.
         self.realtime = realtime
         self.lstm = lstm
         self.wiener_iterations = wiener_iterations
-        self.merge_small_blocks = merge_small_blocks and not realtime and not lstm
-        self._merged_plan = None
         self.specs: List = []
         for shape in block_shapes:
             _, C, F, S, T = shape
@@ -101,40 +92,18 @@ class Unmix:
         batch_stats: dict,
         Xcomplex: Sequence[jnp.ndarray],
         train: bool = False,
+        rng=None,
     ):
         """Forward over all buckets.
 
         Xcomplex: list of (B, C, F, S, T) complex mixture blocks.
+        rng: PRNGKey for train-time stochasticity (LSTM inter-layer
+        dropout, reference model.py:345); ignored in eval / CDAE mode.
         Returns (Ycomplex list of (4, B, C, F, S, T) complex,
                  Ymasks list of (4, B, C, F, S, T) float,
                  new_batch_stats)."""
         n = len(self.specs)
-        masks_per_block: List = [None] * n
         stats_per_block: List = [None] * n
-
-        merged_ids: List[int] = []
-        if self.merge_small_blocks:
-            if self._merged_plan is None:
-                self._merged_plan = build_merged_plan(self.specs)
-            plan = self._merged_plan
-            merged_ids = plan.block_ids
-            if len(merged_ids) >= 2:
-                Tp = plan.Tp
-                xm = jnp.concatenate([
-                    jnp.pad(jnp.abs(Xcomplex[i]),
-                            ((0, 0), (0, 0), (0, 0), (0, 0), (0, Tp - Xcomplex[i].shape[-1])))
-                    for i in merged_ids
-                ], axis=2)                               # (B,C,Fm,S,Tp)
-                masks_m, small_stats = apply_cdae_merged(
-                    params["blocks"], batch_stats["blocks"], xm, plan, train=train
-                )
-                for local, i in enumerate(merged_ids):
-                    off, F = plan.f_slices[local]
-                    T = self.specs[i].nb_t_bins
-                    masks_per_block[i] = masks_m[:, :, :, off: off + F, :, :T]
-                    stats_per_block[i] = small_stats[local]
-            else:
-                merged_ids = []
 
         Ycomplex = []
         Ymasks = []
@@ -142,10 +111,9 @@ class Unmix:
             zip(self.specs, params["blocks"], batch_stats["blocks"], Xcomplex)
         ):
             Xmag = jnp.abs(Xb)
-            if masks_per_block[i] is not None:
-                masks, nbn = masks_per_block[i], stats_per_block[i]
-            elif self.lstm:
-                masks, nbn = apply_lstm(p, bn, Xmag, spec, train=train)
+            if self.lstm:
+                block_rng = jax.random.fold_in(rng, i) if rng is not None else None
+                masks, nbn = apply_lstm(p, bn, Xmag, spec, train=train, rng=block_rng)
             else:
                 masks, nbn = apply_cdae(p, bn, Xmag, spec, train=train)
             Ymag = masks * Xmag[None]  # multiplicative skip connection
