@@ -1,0 +1,45 @@
+"""Hyperparameter tuning: pruner semantics + end-to-end smoke with the
+reference's SDR-on-validation objective (optuna.py:130-183)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from xumx_slicq_tpu.tuning import MedianPruner, tuning_main
+
+
+def test_median_pruner():
+    p = MedianPruner(n_startup_trials=2, n_warmup_steps=1)
+    # warmup epochs never prune
+    assert not p.should_prune(0, 100.0)
+    # not enough completed trials
+    assert not p.should_prune(2, 100.0)
+    p.report_trial({1: 1.0, 2: 1.0})
+    p.report_trial({1: 3.0, 2: 3.0})
+    assert p.should_prune(2, 5.0)      # worse than median(1,3)=2
+    assert not p.should_prune(2, 1.5)  # better than median
+
+
+@pytest.mark.slow
+def test_tuning_smoke_sdr_objective(tmp_path):
+    """Two trials on synthetic data; the study must record finite SDR
+    objectives (negative SD-SDR through the inverse transform, the
+    reference protocol) and resume-safe JSON."""
+    best = tuning_main([
+        "--study-dir", str(tmp_path),
+        "--n-trials", "2", "--trial-epochs", "1",
+        "--batch-size", "4", "--seq-dur", "0.3",
+        "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
+        "--synthetic-dataset", "--max-batches-per-epoch", "2",
+    ])
+    study = json.loads((tmp_path / "study.json").read_text())
+    assert len(study["trials"]) == 2
+    vals = [t["value"] for t in study["trials"] if "value" in t]
+    assert vals and all(np.isfinite(v) for v in vals)
+    assert best is not None and np.isfinite(best["value"])
+    # trial manifests record the SDR validation metric
+    m = json.loads((tmp_path / "trial_0" / "xumx_slicq_tpu.json").read_text())
+    assert m["args"]["valid_metric"] == "sdr"
+    assert m["args"]["mask_sum_coef"] == 0.0

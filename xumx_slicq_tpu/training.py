@@ -190,24 +190,31 @@ def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Opti
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = -1.0, seq_len: int = None):
+def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = -1.0,
+                    seq_len: int = None, mask_sum_coef: float = 1.0,
+                    valid_metric: str = "loss"):
     """Build the jitted training step.
 
-    batch: (B, 5, C, L) stacked (mix, bass, vocals, other, drums)."""
+    batch: (B, 5, C, L) stacked (mix, bass, vocals, other, drums).
+    valid_metric: "loss" scores validation with the training criterion;
+    "sdr" scores negative SD-SDR on inverse-transformed estimates (the
+    reference's tuning objective, optuna.py:160-177)."""
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         x = batch[:, 0]
         y = batch[:, 1:]                                   # (B, 4, C, L)
         B, T4, C, L = y.shape
 
         X = slicqt.forward(x)
-        Y_est, Y_masks, new_stats = model.apply(params, batch_stats, X, train=True)
+        Y_est, Y_masks, new_stats = model.apply(params, batch_stats, X, train=True, rng=rng)
 
         # all 4 targets in one transform call (targets folded into batch)
         Yt = slicqt.forward(y.reshape(B * 4, C, L))
         Y_tgt = [c.reshape(B, 4, *c.shape[1:]).swapaxes(0, 1) for c in Yt]
 
-        total = losses.complex_mse_loss(Y_est, Y_tgt) + losses.mask_sum_loss(Y_masks)
+        total = losses.complex_mse_loss(Y_est, Y_tgt)
+        if mask_sum_coef > 0.0:
+            total = total + mask_sum_coef * losses.mask_sum_loss(Y_masks)
         if sdr_mcoef > 0.0:
             est_b = [yb.reshape((-1,) + yb.shape[2:]) for yb in Y_est]
             y_est_wave = slicqt.backward(est_b, L).reshape(4, B, C, L)
@@ -215,8 +222,8 @@ def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = 
         return total, new_stats
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch):
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, batch)
+    def train_step(params, batch_stats, opt_state, batch, rng=None):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
@@ -228,9 +235,15 @@ def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = 
         B, T4, C, L = y.shape
         X = slicqt.forward(x)
         Y_est, Y_masks, _ = model.apply(params, batch_stats, X, train=False)
+        if valid_metric == "sdr":
+            est_b = [yb.reshape((-1,) + yb.shape[2:]) for yb in Y_est]
+            y_est_wave = slicqt.backward(est_b, L).reshape(4, B, C, L)
+            return losses.sdsdr_loss(y_est_wave, y.swapaxes(0, 1))
         Yt = slicqt.forward(y.reshape(B * 4, C, L))
         Y_tgt = [c.reshape(B, 4, *c.shape[1:]).swapaxes(0, 1) for c in Yt]
-        total = losses.complex_mse_loss(Y_est, Y_tgt) + losses.mask_sum_loss(Y_masks)
+        total = losses.complex_mse_loss(Y_est, Y_tgt)
+        if mask_sum_coef > 0.0:
+            total = total + mask_sum_coef * losses.mask_sum_loss(Y_masks)
         if sdr_mcoef > 0.0:
             est_b = [yb.reshape((-1,) + yb.shape[2:]) for yb in Y_est]
             y_est_wave = slicqt.backward(est_b, L).reshape(4, B, C, L)
@@ -310,10 +323,27 @@ def build_argparser():
     p.add_argument("--quiet", action="store_true", default=False)
     p.add_argument("--n-devices", type=int, default=-1,
                    help="devices for the dp mesh (-1 = all)")
-    p.add_argument("--valid-seq-dur", type=float, default=-1.0,
-                   help="crop validation tracks (<=0: full tracks, padded to a bucket)")
+    p.add_argument("--valid-seq-dur", type=float, default=30.0,
+                   help="validation window length in seconds: each validation track is "
+                        "scored in fixed windows of this size (full coverage, exactly ONE "
+                        "compiled validation executable). <=0 restores full-track scoring, "
+                        "padded to a slice bucket — one fresh XLA executable per distinct "
+                        "track-length bucket (minutes of compile at canonical scale)")
     p.add_argument("--max-batches-per-epoch", type=int, default=-1,
                    help="cap batches per epoch (smoke runs)")
+    p.add_argument("--max-valid-batches", type=int, default=-1,
+                   help="cap validation batches (the reference tuning protocol "
+                        "scores 2 validation tracks, optuna.py:31-33)")
+    p.add_argument("--mask-sum-coef", type=float, default=1.0,
+                   help="weight of the mask-sum prior in the training loss "
+                        "(the reference tuning loop trains with MSE only)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an xprof trace of steps 2-4 of the first "
+                        "epoch (post-compile) into this directory")
+    p.add_argument("--valid-metric", choices=("loss", "sdr"), default="loss",
+                   help="validation score: training criterion, or negative "
+                        "SD-SDR on inverse-transformed estimates (the "
+                        "reference tuning objective, optuna.py:160-177)")
     return p
 
 
@@ -388,7 +418,10 @@ def training_main(argv=None):
     )
     opt_state = optimizer.init(params)
 
-    train_step, valid_step = make_train_step(slicqt, model, optimizer, args.sdr_mcoef, seq_len)
+    train_step, valid_step = make_train_step(
+        slicqt, model, optimizer, args.sdr_mcoef, seq_len,
+        mask_sum_coef=args.mask_sum_coef, valid_metric=args.valid_metric,
+    )
 
     es = EarlyStopping(patience=args.patience)
     train_losses, valid_losses, train_times = [], [], []
@@ -423,6 +456,11 @@ def training_main(argv=None):
     if not metrics_csv.exists():
         metrics_csv.write_text("epoch,train_loss,valid_loss,lr,epoch_time_s\n")
 
+    # train-time stochasticity (LSTM inter-layer dropout); folded per step so
+    # resume at epoch k reproduces the same mask stream the fresh run saw
+    dropout_rng = jax.random.PRNGKey(args.seed ^ 0x5EED)
+    trace_active = False
+
     for epoch in range(start_epoch, args.epochs + 1):
         end = time.time()
         # -- train
@@ -432,23 +470,54 @@ def training_main(argv=None):
                 break
             batch = shard_batch(batch, mesh)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(scheduler.lr, jnp.float32)
-            params, batch_stats, opt_state, l = train_step(params, batch_stats, opt_state, batch)
+            # xprof window over steps 2-4 of the first epoch (step 1 compiles)
+            if args.profile_dir and epoch == start_epoch:
+                if bi == 1 and not trace_active:
+                    jax.profiler.start_trace(args.profile_dir)
+                    trace_active = True
+                elif bi == 4 and trace_active:
+                    jax.profiler.stop_trace()
+                    trace_active = False
+            step_rng = jax.random.fold_in(dropout_rng, epoch * 100003 + bi)
+            params, batch_stats, opt_state, l = train_step(
+                params, batch_stats, opt_state, batch, step_rng
+            )
             meter.update(l, batch.shape[0])
+        if trace_active:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            trace_active = False
         train_loss = meter.avg
 
         # -- validate
         vmeter = AverageMeter()
+        valid_win = int(args.valid_seq_dur * train_dataset.sample_rate)
         for bi, batch in enumerate(valid_loader):
             if args.max_batches_per_epoch > 0 and bi >= args.max_batches_per_epoch:
                 break
-            if args.valid_seq_dur > 0:
-                batch = batch[..., : int(args.valid_seq_dur * train_dataset.sample_rate)]
+            if args.max_valid_batches > 0 and bi >= args.max_valid_batches:
+                break
+            if args.valid_seq_dur > 0 and batch.shape[-1] > valid_win:
+                # full-coverage fixed windows: every window has the same shape,
+                # so validation compiles exactly ONE executable regardless of
+                # track lengths (the reference scores whole variable-length
+                # tracks, training.py:431-477 — equivalent up to the window
+                # average and trailing-window zero padding, which the loss now
+                # handles with finite gradients)
+                L = batch.shape[-1]
+                for pos in range(0, max(L, 1), valid_win):
+                    seg = batch[..., pos: pos + valid_win]
+                    if seg.shape[-1] < valid_win:
+                        seg = np.pad(seg, [(0, 0)] * (seg.ndim - 1)
+                                     + [(0, valid_win - seg.shape[-1])])
+                    vmeter.update(valid_step(params, batch_stats, jnp.asarray(seg)),
+                                  batch.shape[0])
             else:
-                # pad to the next slice bucket to bound recompiles
+                # tracks at/below one window (and the <=0 legacy mode): score
+                # the full track padded to the next slice bucket
                 L = batch.shape[-1]
                 Lpad = slicqt.max_length(slicqt.n_slices(L))
                 batch = np.pad(batch, [(0, 0)] * (batch.ndim - 1) + [(0, max(0, Lpad - L))])
-            vmeter.update(valid_step(params, batch_stats, jnp.asarray(batch)), batch.shape[0])
+                vmeter.update(valid_step(params, batch_stats, jnp.asarray(batch)), batch.shape[0])
         valid_loss = vmeter.avg
 
         scheduler.step(valid_loss)

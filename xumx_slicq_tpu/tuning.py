@@ -51,10 +51,11 @@ def sample_params(rng: random.Random) -> dict:
 
 
 def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
-    """Train a cut-down model and return the validation loss (the reference
-    uses auraloss SDR on 2 validation tracks; here the combined validation
-    loss from the training loop serves as the objective, with per-epoch
-    median pruning)."""
+    """Train a cut-down model and return the reference's tuning objective:
+    negative 14-combination SD-SDR on (up to) 2 validation items, scored on
+    inverse-transformed time-domain estimates (optuna.py:130-183: trials
+    train with the complex MSE only, samples_per_track=16, valid batch 1,
+    MAX_VALID_SAMPLES=2; lower = better). Per-epoch median pruning."""
     from .training import training_main
 
     model_path = Path(args.study_dir) / f"trial_{trial_id}"
@@ -67,6 +68,11 @@ def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
         "--hidden-size-1", str(trial_params["hidden_size_1"]),
         "--hidden-size-2", str(trial_params["hidden_size_2"]),
         "--time-filter-2", str(trial_params["time_filter_2"]),
+        "--samples-per-track", str(args.samples_per_track),
+        "--batch-size-valid", "1",
+        "--max-valid-batches", str(args.max_valid_samples),
+        "--valid-metric", "sdr",
+        "--mask-sum-coef", "0.0",
         "--debug", "--quiet",
     ]
     if args.synthetic_dataset:
@@ -102,6 +108,10 @@ def tuning_main(argv=None):
     p.add_argument("--fbins", type=int, default=262)
     p.add_argument("--fmin", type=float, default=32.9)
     p.add_argument("--musdb-root", type=str, default="/MUSDB18-HQ")
+    p.add_argument("--samples-per-track", type=int, default=16,
+                   help="cut-down samples per track per trial (optuna.py:30)")
+    p.add_argument("--max-valid-samples", type=int, default=2,
+                   help="validation items scored per epoch (optuna.py:31-33)")
     p.add_argument("--synthetic-dataset", action="store_true", default=False)
     p.add_argument("--max-batches-per-epoch", type=int, default=-1)
     p.add_argument("--seed", type=int, default=42)
