@@ -169,6 +169,16 @@ class Separator:
             [np.asarray(est)[..., :n] for est, n in pend], axis=-1
         )
 
+    def clone(self, device) -> "Separator":
+        """Cheap per-device clone: shares the transform/model specs and the
+        already-loaded weights (device_put, no manifest re-parse or weight
+        re-load), with a fresh executable cache for the new device."""
+        return Separator(
+            self.slicqt, self.model, self.params, self.batch_stats,
+            sample_rate=self.sample_rate, chunk_size=self.chunk_size,
+            device=device, quiet=self.quiet,
+        )
+
     def warmup(self, reps: int = 1, duration_s: float = 100.0):
         """Compile/execute on random audio (reference separator.py:83-91)."""
         rng = np.random.default_rng(0)
@@ -221,7 +231,17 @@ class Separator:
         )
         seq_dur = args.get("seq_dur", 2.0)
         shapes = slicqt.block_shapes(1, args.get("nb_channels", 2), int(seq_dur * slicqt.fs))
-        model = Unmix(shapes, realtime=args.get("realtime", realtime), lstm=args.get("lstm", False))
+        manifest_realtime = args.get("realtime", realtime)
+        if "realtime" in args and bool(args["realtime"]) != bool(realtime) and realtime:
+            # the manifest records which variant the weights were trained as;
+            # it wins (the reference instead selects a different model dir per
+            # mode, separator.py:268-270 — with one dir we can only warn)
+            print(
+                f"warning: --realtime={realtime} ignored; manifest at {model_path} "
+                f"declares realtime={args['realtime']} (weights define the variant)",
+                file=sys.stderr,
+            )
+        model = Unmix(shapes, realtime=manifest_realtime, lstm=args.get("lstm", False))
 
         params, batch_stats = load_model_weights(model_path, model, len(shapes))
 
