@@ -77,3 +77,47 @@ def test_training_multidevice(tmp_path):
     ]
     train_losses, _ = training_main(args)
     assert np.isfinite(train_losses).all()
+
+
+@pytest.mark.slow
+def test_training_hybrid_dp_tp(tmp_path):
+    """Hybrid step on a 4x2 dp x tp mesh: batch sharded over dp, the
+    4-target weight stack sharded over tp. Loss must match the pure-dp
+    run bit-for-bit modulo reduction order (same data, same seed)."""
+    assert jax.device_count() >= 8
+    base = [
+        "--synthetic-dataset",
+        "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
+        "--seq-dur", "0.3", "--batch-size", "4", "--epochs", "1",
+        "--debug", "--max-batches-per-epoch", "1", "--quiet",
+    ]
+    tp_losses, _ = training_main(
+        base + ["--model-path", str(tmp_path / "tp"), "--n-devices", "8", "--tp", "2"]
+    )
+    dp_losses, _ = training_main(
+        base + ["--model-path", str(tmp_path / "dp"), "--n-devices", "4"]
+    )
+    assert np.isfinite(tp_losses).all()
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-4)
+
+
+def test_target_shardings_rule():
+    """Target-stacked leaves shard over tp; whitening vectors and scalars
+    stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from xumx_slicq_tpu.parallel import make_mesh, target_shardings
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, tp=2)
+    tree = {
+        "enc1_w": np.zeros((4, 50, 2, 1, 8), np.float32),
+        "dec2_b": np.zeros((4, 2), np.float32),
+        "input_mean": np.zeros(4, np.float32),  # 1-D, even with F == 4
+        "count": np.zeros((), np.float32),
+    }
+    sh = target_shardings(tree, mesh)
+    assert sh["enc1_w"].spec == P("tp")
+    assert sh["dec2_b"].spec == P("tp")
+    assert sh["input_mean"].spec == P()
+    assert sh["count"].spec == P()

@@ -6,6 +6,20 @@ jax.sharding.Mesh + NamedSharding. XLA inserts the ICI collectives (psum for
 gradients and BatchNorm statistics) from the sharding annotations.
 """
 
-from .mesh import make_mesh, shard_batch, replicate, local_mesh_devices
+from .mesh import (
+    local_mesh_devices,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_targets,
+    target_shardings,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "local_mesh_devices"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "local_mesh_devices",
+    "shard_targets",
+    "target_shardings",
+]

@@ -1,11 +1,20 @@
 """Mesh construction and sharding helpers.
 
-Model scale (15 M params) makes pure data parallelism the right mapping
+Model scale (15 M params) makes data parallelism the primary mapping
 (SURVEY.md 2.10): parameters are replicated, the batch axis is sharded over
-a 1-D "dp" mesh. Gradients and BatchNorm batch statistics reduce over ICI
+the "dp" mesh axis. Gradients and BatchNorm batch statistics reduce over ICI
 automatically -- jit sees the shardings and inserts psum where a reduction
 crosses the sharded axis (giving cross-replica sync-BN, which the reference
 could not do).
+
+On top of dp the model exposes a natural *target-parallel* ("tp") axis:
+every mask-network weight is stacked over the 4 separation targets
+(models/cdae.py, models/lstm.py), so sharding that leading axis over a
+second mesh axis splits the per-target CDAE/LSTM compute across devices.
+The embedded Wiener-EM couples targets (its covariance mixes sources), so
+XLA inserts the all-gather there; everything upstream runs 4/tp targets
+per device. Use `make_mesh(n, tp=2)` + `shard_targets` for the hybrid
+layout.
 
 Evaluation shards *tracks* over the same mesh (see evaluation.py): each
 device demixes different songs; only scalar metrics are gathered.
@@ -28,10 +37,17 @@ def local_mesh_devices(n_devices: Optional[int] = None, platform: Optional[str] 
     return devs
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "dp", platform: Optional[str] = None) -> Mesh:
-    """1-D device mesh over the batch ("dp") axis."""
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp", platform: Optional[str] = None,
+              tp: int = 1) -> Mesh:
+    """Device mesh over the batch ("dp") axis, optionally 2-D with a
+    target-parallel ("tp") second axis (tp must divide the device count;
+    meaningful values are 1, 2, 4 — the 4 separation targets)."""
     devs = local_mesh_devices(n_devices, platform)
-    return Mesh(np.asarray(devs), (axis,))
+    if tp <= 1:
+        return Mesh(np.asarray(devs), (axis,))
+    if len(devs) % tp != 0:
+        raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")
+    return Mesh(np.asarray(devs).reshape(len(devs) // tp, tp), (axis, "tp"))
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
@@ -48,3 +64,34 @@ def replicate(tree, mesh: Mesh):
 
 def batch_pspec(axis: str = "dp") -> P:
     return P(axis)
+
+
+NB_TARGETS = 4  # bass/vocals/other/drums — the stacked leading weight axis
+
+
+def target_shardings(tree, mesh: Mesh, n_targets: int = NB_TARGETS):
+    """Sharding pytree for model/optimizer state on a tp mesh.
+
+    Every target-stacked leaf (ndim >= 2 with leading axis == n_targets:
+    all CDAE/LSTM weights and BN tensors, and their AdamW moments) shards
+    its leading axis over "tp"; everything else (per-bucket whitening
+    vectors, scalars, step counts) is replicated. On a mesh without a
+    "tp" axis this degenerates to full replication."""
+    has_tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+    repl = NamedSharding(mesh, P())
+    tp = NamedSharding(mesh, P("tp")) if has_tp else repl
+
+    def spec(x):
+        if has_tp and getattr(x, "ndim", 0) >= 2 and x.shape[0] == n_targets:
+            return tp
+        return repl
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_targets(tree, mesh: Mesh, n_targets: int = NB_TARGETS):
+    """Place model/optimizer state with target-stacked weights sharded
+    over the mesh's "tp" axis (replicated elsewhere)."""
+    return jax.tree.map(
+        jax.device_put, tree, target_shardings(tree, mesh, n_targets)
+    )

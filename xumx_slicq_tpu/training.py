@@ -36,7 +36,7 @@ from . import loss as losses
 from .data import MUSDBDataset, PeripheryDataset, SyntheticDataset, DataLoader
 from .models import Unmix
 from .ops.slicqt import SliCQT
-from .parallel import make_mesh, replicate, shard_batch
+from .parallel import make_mesh, shard_batch, shard_targets
 from .separator import save_model_weights
 
 
@@ -323,6 +323,10 @@ def build_argparser():
     p.add_argument("--quiet", action="store_true", default=False)
     p.add_argument("--n-devices", type=int, default=-1,
                    help="devices for the dp mesh (-1 = all)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="target-parallel mesh axis: shard the 4-target weight "
+                        "stack over this many devices (hybrid dp x tp; 1, 2 or "
+                        "4; must divide --n-devices)")
     p.add_argument("--valid-seq-dur", type=float, default=30.0,
                    help="validation window length in seconds: each validation track is "
                         "scored in fixed windows of this size (full coverage, exactly ONE "
@@ -399,17 +403,22 @@ def training_main(argv=None):
     # mesh + optimizer: the dp axis must divide the batch
     import jax as _jax
 
+    tp = max(1, args.tp)
     if args.n_devices < 0:
         n_dev = len(_jax.devices())
-        while args.batch_size % n_dev != 0:
+        while n_dev % tp != 0 or args.batch_size % (n_dev // tp) != 0:
             n_dev -= 1
     else:
         n_dev = args.n_devices
-        if args.batch_size % n_dev != 0:
-            raise ValueError(f"batch size {args.batch_size} not divisible by {n_dev} devices")
-    mesh = make_mesh(n_dev)
+        if n_dev % tp != 0:
+            raise ValueError(f"--n-devices {n_dev} not divisible by --tp {tp}")
+        if args.batch_size % (n_dev // tp) != 0:
+            raise ValueError(
+                f"batch size {args.batch_size} not divisible by dp={n_dev // tp} devices"
+            )
+    mesh = make_mesh(n_dev, tp=tp)
     if not args.quiet:
-        print(f"data-parallel mesh: {mesh.shape}")
+        print(f"device mesh: {dict(mesh.shape)}")
 
     scheduler = ReduceLROnPlateau(args.lr, args.lr_decay_gamma, args.lr_decay_patience, cooldown=10)
     lr_schedule = lambda _count: scheduler.lr  # host-controlled plateau LR
@@ -443,9 +452,11 @@ def training_main(argv=None):
         if "scheduler" in results:
             scheduler.load_state_dict(results["scheduler"])
 
-    params = replicate(params, mesh)
-    batch_stats = replicate(batch_stats, mesh)
-    opt_state = replicate(opt_state, mesh)
+    # target-stacked weights shard over "tp" (if enabled); everything else
+    # is replicated — shard_targets degenerates to replicate on a 1-D mesh
+    params = shard_targets(params, mesh)
+    batch_stats = shard_targets(batch_stats, mesh)
+    opt_state = shard_targets(opt_state, mesh)
 
     train_loader = DataLoader(
         train_dataset, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
