@@ -73,31 +73,6 @@ def _make_slice_window(sl_len: int, tr_area: int) -> np.ndarray:
 
 
 @dataclass(frozen=True)
-class _ClassTables:
-    """Size-class execution tables: buckets whose M falls in one class run
-    as ONE batched per-bin matmul (padded to the class size Mc) instead of
-    one ragged einsum per bucket. 70 bucket programs become ~5, each with
-    MXU-friendly shapes; zero-padded weights make the padding exact."""
-
-    Mc: int                      # class time resolution (max M in class)
-    bucket_ids: List[int]        # bucket indices in this class (plan order)
-    f_offs: List[int]            # each bucket's offset into the class F axis
-    Fc: int                      # total bins in class
-    # forward
-    gidx: np.ndarray             # (Fc, Mc) int32 gather into ft_ext (pads -> 0)
-    fwd_w: np.ndarray            # (2, Fc, Mc) complex64 (zero on pads)
-    dft_inv: np.ndarray          # (Fc, Mc, Mc) complex64 per-bin (zero-padded)
-    # backward
-    dft_fwd: np.ndarray          # (Fc, Mc, Mc) complex64 per-bin (zero-padded)
-    inv_ramp: np.ndarray         # (2, Fc, Mc) complex64 per-bin arrange ramp
-    w_pos: np.ndarray            # (Fc, Mc) float32 synthesis weights (zero pads)
-    # mirror (negative-frequency) reconstruction
-    mirror_bins: Optional[np.ndarray]  # (Fm,) int32 class-local bin indices
-    m_src: Optional[np.ndarray]        # (Fm, Mc) int32 gather within the bin spec
-    w_neg: Optional[np.ndarray]        # (Fm, Mc) float32 (zero pads)
-
-
-@dataclass(frozen=True)
 class _BucketTables:
     """Static per-bucket tables (NumPy; become XLA constants)."""
 
@@ -164,7 +139,6 @@ class SliCQT:
 
         self._slice_window = _make_slice_window(self.sllen, self.trlen)  # (sllen,)
         self._build_bucket_tables()
-        self._build_classes()
         self._build_inverse_gather()
 
     # -- table construction -------------------------------------------------
@@ -258,108 +232,6 @@ class SliCQT:
         ]).astype(np.complex64)
         self._plan_slice_fft()
 
-    def _build_classes(self, max_classes: int = 5):
-        """Partition buckets into M size classes for batched execution.
-
-        Each class runs ONE per-bin batched matmul padded to the class's
-        max M. The partition (over M-sorted buckets) minimizes the total
-        padded matmul work sum_class (sum F) * Mc^2 by exact DP, capped at
-        `max_classes` classes. For the canonical 70-bucket table this cuts
-        70 ragged einsums per direction to <=5 MXU-shaped ones at <~1.6x
-        the exact FLOPs (which are negligible; op count and fusion overhead
-        dominate)."""
-        n = len(self.buckets)
-        order = sorted(range(n), key=lambda i: self.buckets[i].M)
-        Ms = [self.buckets[i].M for i in order]
-        Fs = [self.buckets[i].f_count for i in order]
-        K = min(max_classes, n)
-        pf = np.concatenate([[0], np.cumsum(Fs)])
-
-        def cost(i, j):  # sorted buckets i..j inclusive in one class
-            return float(pf[j + 1] - pf[i]) * Ms[j] ** 2
-
-        INF = float("inf")
-        dp = np.full((n + 1, K + 1), INF)
-        back = np.zeros((n + 1, K + 1), np.int32)
-        dp[0, 0] = 0.0
-        for j in range(1, n + 1):
-            for k in range(1, K + 1):
-                for i in range(j):
-                    if dp[i, k - 1] == INF:
-                        continue
-                    c = dp[i, k - 1] + cost(i, j - 1)
-                    if c < dp[j, k]:
-                        dp[j, k] = c
-                        back[j, k] = i
-        kbest = int(np.argmin(dp[n, 1:])) + 1
-        ranges = []
-        j, k = n, kbest
-        while j > 0:
-            i = int(back[j, k])
-            ranges.append((i, j))
-            j, k = i, k - 1
-        ranges.reverse()
-
-        classes: List[_ClassTables] = []
-        for lo, hi in ranges:
-            ids = sorted(order[lo:hi])  # plan order within the class
-            Mc = max(self.buckets[i].M for i in ids)
-            f_offs, gidx, fwdw, dinv, dfwd, ramp, wpos = [], [], [], [], [], [], []
-            mirror_bins, m_src, w_neg = [], [], []
-            f_off = 0
-            for bi in ids:
-                b = self.buckets[bi]
-                M, F = b.M, b.f_count
-                f_offs.append(f_off)
-                l2 = M // 2
-                taps = (np.arange(M) + l2) % M
-                gi = np.zeros((F, Mc), np.int32)
-                gi[:, :M] = b.starts[:, None] + taps[None, :]
-                gidx.append(gi)
-                fw = np.zeros((2, F, Mc), np.complex64)
-                fw[:, :, :M] = b.fwd_w
-                fwdw.append(fw)
-                di = np.zeros((Mc, Mc), np.complex64)
-                di[:M, :M] = b.dft_inv
-                dinv.append(np.broadcast_to(di, (F, Mc, Mc)))
-                df = np.zeros((Mc, Mc), np.complex64)
-                df[:M, :M] = b.dft_fwd
-                dfwd.append(np.broadcast_to(df, (F, Mc, Mc)))
-                rp = np.zeros((2, Mc), np.complex64)
-                rp[:, :M] = b.inv_ramp
-                ramp.append(np.broadcast_to(rp[:, None, :], (2, F, Mc)))
-                wp = np.zeros((F, Mc), np.float32)
-                wp[:, :M] = b.w_pos
-                wpos.append(wp)
-                if b.w_neg is not None:
-                    for jl in range(b.neg_lo, b.neg_hi):
-                        mirror_bins.append(f_off + jl)
-                        src = np.zeros(Mc, np.int32)
-                        src[: M - 1] = np.arange(1, M)
-                        src[M - 1] = M - 1
-                        m_src.append(src)
-                        wn = np.zeros(Mc, np.float32)
-                        wn[:M] = b.w_neg[jl - b.neg_lo]
-                        w_neg.append(wn)
-                f_off += F
-            has_mirror = len(mirror_bins) > 0
-            classes.append(_ClassTables(
-                Mc=Mc,
-                bucket_ids=ids,
-                f_offs=f_offs,
-                Fc=f_off,
-                gidx=np.concatenate(gidx),
-                fwd_w=np.concatenate(fwdw, axis=1),
-                dft_inv=np.concatenate(dinv),
-                dft_fwd=np.concatenate(dfwd),
-                inv_ramp=np.concatenate(ramp, axis=1),
-                w_pos=np.concatenate(wpos),
-                mirror_bins=np.asarray(mirror_bins, np.int32) if has_mirror else None,
-                m_src=np.stack(m_src) if has_mirror else None,
-                w_neg=np.stack(w_neg) if has_mirror else None,
-            ))
-        self._classes = classes
-
     def _plan_slice_fft(self):
         """Mixed-radix plan for the length-nn slice (i)FFT.
 
@@ -420,46 +292,40 @@ class SliCQT:
     def _build_inverse_gather(self):
         """Convert the synthesis scatter-add into a gather table.
 
-        Flat value layout (matching backward's class execution): per class,
-        the positive-bin weighted spectra flattened (Fc*Mc, zero-padded to
-        the class Mc), then that class's mirror values (Fm*Mc); final slot
-        is a zero sentinel. For every output position p < nh, inv_idx[p]
-        lists the flat entries that accumulate into fr[p] (reference
-        scatter: nsigtf.py:88-95; value u of bin j lands at
-        win_range_j[(M//2 + u) % M])."""
+        Flat value layout: for each bucket, the positive-bin weighted spectra
+        flattened (F*M); then for each mirror-eligible bin (in bin order) its
+        M mirror values; final slot is a zero sentinel. For every output
+        position p < nh, inv_idx[p] lists the flat entries that accumulate
+        into fr[p] (reference scatter: nsigtf.py:88-95; value u of bin j lands
+        at win_range_j[(M//2 + u) % M])."""
         plan = self.plan
         nh = self.nh
         entries: List[List[int]] = [[] for _ in range(nh)]
         flat_off = 0
-        for cls in self._classes:
-            Mc = cls.Mc
-            for bi, f_off in zip(cls.bucket_ids, cls.f_offs):
-                b = self.buckets[bi]
-                M = b.M
-                tgt = (M // 2 + np.arange(M)) % M
-                for jl in range(b.f_count):
-                    pos = plan.wins[b.f_start + jl][tgt]
-                    base = flat_off + (f_off + jl) * Mc
-                    for u in range(M):
-                        p = int(pos[u])
-                        if p < nh:
-                            entries[p].append(base + u)
-            flat_off += cls.Fc * Mc
-            fm = 0
-            for bi in cls.bucket_ids:
-                b = self.buckets[bi]
-                M = b.M
-                tgt = (M // 2 + np.arange(M)) % M
-                for jl in range(b.neg_lo, b.neg_hi):
-                    jm = 2 * (self.nfreqs - 1) - (b.f_start + jl)
-                    pos = plan.wins[jm][tgt]
-                    base = flat_off + fm * Mc
-                    for u in range(M):
-                        p = int(pos[u])
-                        if p < nh:
-                            entries[p].append(base + u)
-                    fm += 1
-            flat_off += fm * Mc
+        for b in self.buckets:
+            M = b.M
+            l2 = M // 2
+            tgt = (l2 + np.arange(M)) % M
+            for j_local, j in enumerate(range(b.f_start, b.f_start + b.f_count)):
+                pos = plan.wins[j][tgt]
+                base = flat_off + j_local * M
+                for u in range(M):
+                    p = int(pos[u])
+                    if p < nh:
+                        entries[p].append(base + u)
+            flat_off += b.f_count * M
+        for b in self.buckets:
+            M = b.M
+            l2 = M // 2
+            tgt = (l2 + np.arange(M)) % M
+            for j in range(b.f_start + b.neg_lo, b.f_start + b.neg_hi):
+                jm = 2 * (self.nfreqs - 1) - j
+                pos = plan.wins[jm][tgt]
+                for u in range(M):
+                    p = int(pos[u])
+                    if p < nh:
+                        entries[p].append(flat_off + u)
+                flat_off += M
 
         self._flat_len = flat_off
         O = max(len(e) for e in entries)
@@ -528,15 +394,16 @@ class SliCQT:
         B, C, S = ft_full.shape[:3]
         parity = np.arange(S) % 2                            # (S,)
 
-        out: List = [None] * len(self.buckets)
-        for cls in self._classes:
-            # one gather + one per-bin batched matmul for the whole class
-            t = ft_ext[..., jnp.asarray(cls.gidx)]           # (B,C,S,Fc,Mc)
-            W = jnp.asarray(cls.fwd_w)[parity]               # (S,Fc,Mc)
-            c = jnp.einsum("bcsfm,fmn->bcsfn", t * W[None, None], jnp.asarray(cls.dft_inv))
-            for bi, f_off in zip(cls.bucket_ids, cls.f_offs):
-                b = self.buckets[bi]
-                out[bi] = jnp.moveaxis(c[..., f_off: f_off + b.f_count, : b.M], 3, 2)
+        out = []
+        for b in self.buckets:
+            M = b.M
+            l2 = M // 2
+            # static index table: contiguous circular window slice + roll
+            idx = (b.starts[:, None] + ((np.arange(M) + l2) % M)[None, :]).astype(np.int32)
+            t = ft_ext[..., jnp.asarray(idx)]                # (B,C,S,F,M)
+            W = jnp.asarray(b.fwd_w)[parity]                 # (S,F,M)
+            c = jnp.einsum("bcsfm,mn->bcsfn", t * W[None, None], jnp.asarray(b.dft_inv))
+            out.append(jnp.moveaxis(c, 3, 2))                # (B,C,F,S,M)
         return out
 
     # -- inverse -------------------------------------------------------------
@@ -550,26 +417,24 @@ class SliCQT:
         parity = np.arange(S) % 2
 
         vals = []
-        for cls in self._classes:
-            parts = []
-            for bi, f_off in zip(cls.bucket_ids, cls.f_offs):
-                c = jnp.moveaxis(blocks[bi], 2, 3).astype(jnp.complex64)  # (B,C,S,F,M)
-                M = self.buckets[bi].M
-                if M < cls.Mc:
-                    c = jnp.pad(c, ((0, 0),) * 4 + ((0, cls.Mc - M),))
-                parts.append(c)
-            ccls = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
-            spec = jnp.einsum("bcsfm,fmn->bcsfn", ccls, jnp.asarray(cls.dft_fwd))
-            spec = spec * jnp.asarray(cls.inv_ramp)[parity][None, None]
-            vals.append((spec * jnp.asarray(cls.w_pos)).reshape(B, C, S, -1))
-            if cls.mirror_bins is not None:
-                sub = spec[..., jnp.asarray(cls.mirror_bins), :]
-                # mirror spectrum: value u is conj(spec[map_u]) with
-                # map = [1, 2, ..., M-1, M-1] (nsigtf.py:71-77 rederived)
-                neg = jnp.take_along_axis(
-                    sub.conj(), jnp.asarray(cls.m_src)[None, None, None], axis=-1
-                )
-                vals.append((neg * jnp.asarray(cls.w_neg)).reshape(B, C, S, -1))
+        specs = []
+        for b, cb in zip(self.buckets, blocks):
+            c = jnp.moveaxis(cb, 2, 3)                       # (B,C,S,F,M)
+            spec = jnp.einsum(
+                "bcsfm,mn->bcsfn", c.astype(jnp.complex64), jnp.asarray(b.dft_fwd)
+            )
+            ramp = jnp.asarray(b.inv_ramp)[parity]           # (S,M)
+            spec = spec * ramp[None, None, :, None, :]
+            specs.append(spec)
+            vals.append((spec * jnp.asarray(b.w_pos)).reshape(B, C, S, -1))
+        for b, spec in zip(self.buckets, specs):
+            if b.w_neg is None:
+                continue
+            sub = spec[..., b.neg_lo: b.neg_hi, :]
+            # mirror spectrum: value u is conj(spec[map_u]) with
+            # map = [1, 2, ..., M-1, M-1] (nsigtf.py:71-77 rederived)
+            neg = jnp.concatenate([sub[..., 1:], sub[..., -1:]], axis=-1).conj()
+            vals.append((neg * jnp.asarray(b.w_neg)).reshape(B, C, S, -1))
 
         V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
         fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
