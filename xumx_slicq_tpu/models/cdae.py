@@ -129,16 +129,17 @@ def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> j
     seg = jnp.einsum("bhfdk,hcdt->bcfkt", v, w)            # (B,C,F_out,K,T)
 
     # time overlap-add at hop T/2: frame 2s covers slice s fully; frame
-    # 2s+1 covers slice s [T/2,T) then slice s+1 [0,T/2)
+    # 2s+1 covers slice s [T/2,T) then slice s+1 [0,T/2). Slice s therefore
+    # receives odd[s-1, hop:] on its first half and odd[s, :hop] on its
+    # second — built with pad+concat (fuses on TPU) rather than .at[].add
+    # (dynamic-update-slice, a full-buffer read-modify-write).
     K2 = 2 * S
     seg = jnp.pad(seg, ((0, 0), (0, 0), (0, 0), (0, K2 - K), (0, 0)))
     seg = seg.reshape(B, seg.shape[1], F_out, S, 2, T)
     even = seg[..., 0, :]
     odd = seg[..., 1, :]
-    y = even
-    y = y.at[..., hop:].add(odd[..., :hop])
-    y = y.at[:, :, :, 1:, :hop].add(odd[:, :, :, :-1, hop:])
-    return y
+    odd_prev = jnp.pad(odd[:, :, :, :-1, hop:], ((0, 0),) * 3 + ((1, 0), (0, 0)))
+    return even + jnp.concatenate([odd_prev, odd[..., :hop]], axis=-1)
 
 
 def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int) -> jnp.ndarray:

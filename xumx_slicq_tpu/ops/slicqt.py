@@ -293,15 +293,27 @@ class SliCQT:
         """Convert the synthesis scatter-add into a gather table.
 
         Flat value layout: for each bucket, the positive-bin weighted spectra
-        flattened (F*M); then for each mirror-eligible bin (in bin order) its
-        M mirror values; final slot is a zero sentinel. For every output
-        position p < nh, inv_idx[p] lists the flat entries that accumulate
-        into fr[p] (reference scatter: nsigtf.py:88-95; value u of bin j lands
-        at win_range_j[(M//2 + u) % M])."""
+        flattened (F*M, zero-padded to a 128 multiple); then per bucket one
+        mirror piece with its mirror-eligible bins' M values each (same
+        padding); final slot is a zero sentinel. For every output position
+        p < nh, inv_idx[p] lists the flat entries that accumulate into fr[p]
+        (reference scatter: nsigtf.py:88-95; value u of bin j lands at
+        win_range_j[(M//2 + u) % M])."""
         plan = self.plan
         nh = self.nh
+        LANE = 128  # TPU minor-dim tile; see _piece_pads note below
+
+        def aligned(n: int) -> int:
+            return -(-n // LANE) * LANE
+
         entries: List[List[int]] = [[] for _ in range(nh)]
         flat_off = 0
+        # Every piece's offset is rounded up to a multiple of 128 (the TPU
+        # minor-dim tile): the concat in `backward` then lowers to aligned
+        # whole-tile copies instead of cross-tile read-modify-writes, which
+        # profiling showed dominating synthesis. Gaps are zero-padded in
+        # `backward` and never indexed.
+        self._piece_pads = []  # per-piece zero padding (pos pieces, then mirrors)
         for b in self.buckets:
             M = b.M
             l2 = M // 2
@@ -313,19 +325,26 @@ class SliCQT:
                     p = int(pos[u])
                     if p < nh:
                         entries[p].append(base + u)
-            flat_off += b.f_count * M
+            width = b.f_count * M
+            self._piece_pads.append(aligned(width) - width)
+            flat_off += aligned(width)
         for b in self.buckets:
+            if b.w_neg is None:
+                continue
             M = b.M
             l2 = M // 2
             tgt = (l2 + np.arange(M)) % M
+            width = 0
             for j in range(b.f_start + b.neg_lo, b.f_start + b.neg_hi):
                 jm = 2 * (self.nfreqs - 1) - j
                 pos = plan.wins[jm][tgt]
                 for u in range(M):
                     p = int(pos[u])
                     if p < nh:
-                        entries[p].append(flat_off + u)
-                flat_off += M
+                        entries[p].append(flat_off + width + u)
+                width += M
+            self._piece_pads.append(aligned(width) - width)
+            flat_off += aligned(width)
 
         self._flat_len = flat_off
         O = max(len(e) for e in entries)
@@ -436,6 +455,13 @@ class SliCQT:
             neg = jnp.concatenate([sub[..., 1:], sub[..., -1:]], axis=-1).conj()
             vals.append((neg * jnp.asarray(b.w_neg)).reshape(B, C, S, -1))
 
+        # zero-pad every piece to the 128-aligned slot _build_inverse_gather
+        # laid out: the concat below then copies whole tiles at aligned
+        # offsets (cheap) instead of shifting across tile boundaries
+        vals = [
+            jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else v
+            for v, pad in zip(vals, self._piece_pads)
+        ]
         V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
         fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
         # physical->temporal slice un-rotation as a spectral phase
@@ -453,9 +479,10 @@ class SliCQT:
         hhop = self.hhop
         quads = sig_slices.reshape(B, C, S, 4, hhop)
         # output block m' (after dropping 2): quad[m'//2, m'%2 + 2] + quad[(m'+2)//2, m'%2]
+        # pad+add fuses on TPU; .at[].add would lower to dynamic-update-slice
         P1 = quads[:, :, :, 2:4, :].reshape(B, C, 2 * S * hhop)
         P2 = quads[:, :, 1:, 0:2, :].reshape(B, C, 2 * (S - 1) * hhop)
-        out = P1.at[..., : 2 * (S - 1) * hhop].add(P2)
+        out = P1 + jnp.pad(P2, ((0, 0), (0, 0), (0, 2 * hhop)))
         return out[..., :length]
 
     # -- misc ----------------------------------------------------------------
