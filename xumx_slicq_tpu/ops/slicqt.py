@@ -252,14 +252,26 @@ class SliCQT:
         if rest == 1 or rest > 512:
             return
         n1, n2 = smooth, rest          # k = k1 + n1*k2 ; n = n2*a + b
-        # analysis: X[k1 + n1 k2] = sum_b W2[k2,b] * tw*[k1,b] * FFT1_a(x[n2 a + b])[k1]
-        # synthesis: x[n2 a + b] = iFFT1_k1( tw[k1,b] * sum_k2 W2i[b,k2] X[k1 + n1 k2] )[a]
+        # analysis: X[k1 + n1 k2] = sum_b W2[k2,b] * tw*[k1,b] * DFT1_a(x[n2 a + b])[k1]
+        # synthesis: x[n2 a + b] = iDFT1_k1( tw[k1,b] * sum_k2 W2i[b,k2] X[k1 + n1 k2] )[a]
+        # BOTH stages are DFT matmuls on the MXU: a native fft over the
+        # smooth factor (a non-minor axis) forces layout transposes between
+        # stages that cost more than the n1^2 extra MACs (profiled). The
+        # real-input (analysis) / real-output (synthesis) edges run as stacked
+        # REAL matmuls: 2 real GEMMs instead of a complex one.
         k2b = np.outer(np.arange(n2), np.arange(n2))
+        k1a = np.outer(np.arange(n1), np.arange(n1))
+        E1 = np.exp(-2j * np.pi * k1a / n1)                                  # (k1, a)
+        E1i = np.exp(2j * np.pi * k1a / n1) / n1                             # (a, k1)
         self._ct = dict(
             n1=n1, n2=n2,
             W2=np.exp(-2j * np.pi * k2b / n2).astype(np.complex64),          # (k2, b)
             W2i=(np.exp(2j * np.pi * k2b / n2) / n2).astype(np.complex64),   # (b, k2)
             tw=np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / nn).astype(np.complex64),  # (k1, b)
+            # stacked real forms: E1ri @ x_real -> [Re(F1); Im(F1)] rows
+            E1ri=np.concatenate([E1.real, E1.imag], axis=0).astype(np.float32),       # (2*k1, a)
+            # [Re(E1i), -Im(E1i)] @ [Re(Z); Im(Z)] -> Re(E1i @ Z) columns
+            E1iri=np.concatenate([E1i.real, -E1i.imag], axis=1).astype(np.float32),   # (a, 2*k1)
         )
 
     def _fft_full(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -271,7 +283,9 @@ class SliCQT:
         n1, n2 = ct["n1"], ct["n2"]
         # x[n2*a + b] -> (..., a, b)
         xr = x.reshape(*x.shape[:-1], n1, n2)
-        F1 = jnp.fft.fft(xr, axis=-2)                                    # over a -> k1
+        # DFT over a -> k1 as ONE real matmul (real input: Re/Im rows stacked)
+        F = jnp.einsum("ka,...ab->...kb", jnp.asarray(ct["E1ri"]), xr)   # (..., 2*k1, b)
+        F1 = jax.lax.complex(F[..., :n1, :], F[..., n1:, :])
         F1 = F1 * jnp.conj(jnp.asarray(ct["tw"]))                        # (k1, b)
         X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ct["W2"]))     # over b -> k2; out (..., k2, k1)
         return X.reshape(*x.shape[:-1], n1 * n2)                          # k = k1 + n1*k2
@@ -286,8 +300,11 @@ class SliCQT:
         Xr = full.reshape(*full.shape[:-1], n2, n1)                       # (k2, k1)
         Z = jnp.einsum("bc,...ck->...kb", jnp.asarray(ct["W2i"]), Xr)     # over k2 -> b; out (k1, b)
         Z = Z * jnp.asarray(ct["tw"])
-        z = jnp.fft.ifft(Z, axis=-2)                                      # over k1 -> a
-        return jnp.real(z).reshape(*full.shape[:-1], n1 * n2)             # n = n2*a + b
+        # iDFT over k1 -> a, real output only: ONE real matmul on stacked
+        # [Re(Z); Im(Z)] rows against [Re(E1i), -Im(E1i)]
+        Zs = jnp.concatenate([jnp.real(Z), jnp.imag(Z)], axis=-2)         # (..., 2*k1, b)
+        z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ct["E1iri"]), Zs)
+        return z.reshape(*full.shape[:-1], n1 * n2)                       # n = n2*a + b
 
     def _build_inverse_gather(self):
         """Convert the synthesis scatter-add into a gather table.
