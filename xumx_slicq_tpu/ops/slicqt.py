@@ -273,6 +273,28 @@ class SliCQT:
             # [Re(E1i), -Im(E1i)] @ [Re(Z); Im(Z)] -> Re(E1i @ Z) columns
             E1iri=np.concatenate([E1i.real, -E1i.imag], axis=1).astype(np.float32),   # (a, 2*k1)
         )
+        # Hermitian-half synthesis plan: z real => the twiddled Z entering
+        # the k1-iDFT is conjugate-symmetric, so only k1 in [0, n1/2] is
+        # computed — halving the big n2-point DFT matmul, the mirror
+        # expansion copies, and the final real matmul. Requires n1 even and
+        # n2 odd (row split n2 = n2h + (n2h-1)); falls back otherwise.
+        self._ct_half = None
+        if n1 % 2 == 0 and n2 % 2 == 1:
+            h1 = n1 // 2 + 1
+            n2h = n2 // 2 + 1                       # rows of the direct block
+            W2i = self._ct["W2i"]
+            W2m = W2i[:, n2h:][:, ::-1]             # (b, n2h-1): W2i[b, n2-1-c']
+            ck = np.full(h1, 2.0)
+            ck[0] = ck[-1] = 1.0                    # DC / n1-Nyquist appear once
+            E1ih = np.concatenate(
+                [ck * E1i.real[:, :h1], -ck * E1i.imag[:, :h1]], axis=1
+            ).astype(np.float32)                     # (a, 2*h1)
+            self._ct_half = dict(
+                h1=h1, n2h=n2h,
+                Wcat=np.concatenate([W2i[:, :n2h], W2m], axis=1).astype(np.complex64),  # (b, n2)
+                twh=self._ct["tw"][:h1],             # (h1, b)
+                E1ih=E1ih,
+            )
 
     def _fft_full(self, x: jnp.ndarray) -> jnp.ndarray:
         """Full complex spectrum of real slices (..., nn)."""
@@ -294,9 +316,28 @@ class SliCQT:
         """Real inverse of a half spectrum (..., nh) -> (..., nn)."""
         if self._ct is None:
             return jnp.fft.irfft(fr, n=self.nn, axis=-1)
-        full = jnp.concatenate([fr, jnp.conj(fr[..., 1:-1])[..., ::-1]], axis=-1)
         ct = self._ct
         n1, n2 = ct["n1"], ct["n2"]
+        if self._ct_half is not None:
+            # Hermitian-half path: full[n1*c + k] for k <= n1/2 only.
+            # Direct rows c <= n2//2 read fr; mirror rows read
+            # conj(fr[nn - n1*c - k]) re-indexed to columns n1-k (and row
+            # c'+1, col 0 for k=0) of the same (n2h, n1) reshape.
+            ch = self._ct_half
+            h1, n2h = ch["h1"], ch["n2h"]
+            lead = fr.shape[:-1]
+            Gp = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, n2h * n1 - self.nh)])
+            Gp = Gp.reshape(*lead, n2h, n1)
+            direct = Gp[..., :, :h1]                                      # (..., n2h, h1)
+            mcol0 = jnp.conj(Gp[..., 1:, 0:1])                            # (..., n2h-1, 1)
+            mrest = jnp.conj(Gp[..., : n2h - 1, n1 - h1 + 1:][..., ::-1])
+            V2 = jnp.concatenate([direct, jnp.concatenate([mcol0, mrest], axis=-1)], axis=-2)
+            Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2)
+            Zt = Zt * jnp.asarray(ch["twh"])                              # (..., h1, b)
+            Zs = jnp.concatenate([jnp.real(Zt), jnp.imag(Zt)], axis=-2)   # (..., 2*h1, b)
+            z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ch["E1ih"]), Zs)
+            return z.reshape(*lead, n1 * n2)
+        full = jnp.concatenate([fr, jnp.conj(fr[..., 1:-1])[..., ::-1]], axis=-1)
         Xr = full.reshape(*full.shape[:-1], n2, n1)                       # (k2, k1)
         Z = jnp.einsum("bc,...ck->...kb", jnp.asarray(ct["W2i"]), Xr)     # over k2 -> b; out (k1, b)
         Z = Z * jnp.asarray(ct["tw"])
