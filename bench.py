@@ -157,6 +157,13 @@ def bench_inference(profile_dir=None):
     )
     print(f"# {_mfu_note('inference', flops, value)}", file=sys.stderr)
 
+    # on-device numeric accuracy: transform roundtrip on chunk 0 (the DFT
+    # matmuls are pinned to Precision.HIGHEST; XLA's TPU default would be
+    # single-pass bf16 at ~4e-2)
+    rt = jax.jit(lambda a: slicqt.backward(slicqt.forward(a), chunk))
+    err = float(np.asarray(jnp.abs(rt(track_dev[:1]) - track_dev[:1]).max()))
+    print(f"# accuracy: on-device transform roundtrip max-abs-err={err:.2e}", file=sys.stderr)
+
 
 def bench_train_step(profile_dir=None, batch=64):
     """Canonical training step: bark-262, 2 s sequences, batch 64, offline

@@ -45,6 +45,13 @@ import jax.numpy as jnp
 from .fscale import make_scale
 from .filterbank import FilterbankPlan, design_filterbank, hannwin
 
+# Transform DFT matmuls run at bf16x3 (Precision.HIGH): XLA's TPU default
+# lowers f32 dots to SINGLE-PASS bf16 (measured canonical roundtrip 4.2e-2
+# on-device), HIGH recovers ~1e-6 roundtrip at 3 passes; HIGHEST (6 passes)
+# measured +25% whole-pipeline time for no audible gain. Learned model
+# convs keep the fast default (comparable to the reference's TF32 path).
+_PREC = jax.lax.Precision.HIGH
+
 
 # ---------------------------------------------------------------------------
 # plan-time table construction (NumPy, host)
@@ -306,10 +313,10 @@ class SliCQT:
         # x[n2*a + b] -> (..., a, b)
         xr = x.reshape(*x.shape[:-1], n1, n2)
         # DFT over a -> k1 as ONE real matmul (real input: Re/Im rows stacked)
-        F = jnp.einsum("ka,...ab->...kb", jnp.asarray(ct["E1ri"]), xr)   # (..., 2*k1, b)
+        F = jnp.einsum("ka,...ab->...kb", jnp.asarray(ct["E1ri"]), xr, precision=_PREC)   # (..., 2*k1, b)
         F1 = jax.lax.complex(F[..., :n1, :], F[..., n1:, :])
         F1 = F1 * jnp.conj(jnp.asarray(ct["tw"]))                        # (k1, b)
-        X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ct["W2"]))     # over b -> k2; out (..., k2, k1)
+        X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ct["W2"]), precision=_PREC)     # over b -> k2; out (..., k2, k1)
         return X.reshape(*x.shape[:-1], n1 * n2)                          # k = k1 + n1*k2
 
     def _irfft(self, fr: jnp.ndarray) -> jnp.ndarray:
@@ -332,19 +339,19 @@ class SliCQT:
             mcol0 = jnp.conj(Gp[..., 1:, 0:1])                            # (..., n2h-1, 1)
             mrest = jnp.conj(Gp[..., : n2h - 1, n1 - h1 + 1:][..., ::-1])
             V2 = jnp.concatenate([direct, jnp.concatenate([mcol0, mrest], axis=-1)], axis=-2)
-            Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2)
+            Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2, precision=_PREC)
             Zt = Zt * jnp.asarray(ch["twh"])                              # (..., h1, b)
             Zs = jnp.concatenate([jnp.real(Zt), jnp.imag(Zt)], axis=-2)   # (..., 2*h1, b)
-            z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ch["E1ih"]), Zs)
+            z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ch["E1ih"]), Zs, precision=_PREC)
             return z.reshape(*lead, n1 * n2)
         full = jnp.concatenate([fr, jnp.conj(fr[..., 1:-1])[..., ::-1]], axis=-1)
         Xr = full.reshape(*full.shape[:-1], n2, n1)                       # (k2, k1)
-        Z = jnp.einsum("bc,...ck->...kb", jnp.asarray(ct["W2i"]), Xr)     # over k2 -> b; out (k1, b)
+        Z = jnp.einsum("bc,...ck->...kb", jnp.asarray(ct["W2i"]), Xr, precision=_PREC)     # over k2 -> b; out (k1, b)
         Z = Z * jnp.asarray(ct["tw"])
         # iDFT over k1 -> a, real output only: ONE real matmul on stacked
         # [Re(Z); Im(Z)] rows against [Re(E1i), -Im(E1i)]
         Zs = jnp.concatenate([jnp.real(Z), jnp.imag(Z)], axis=-2)         # (..., 2*k1, b)
-        z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ct["E1iri"]), Zs)
+        z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ct["E1iri"]), Zs, precision=_PREC)
         return z.reshape(*full.shape[:-1], n1 * n2)                       # n = n2*a + b
 
     def _build_inverse_gather(self):
@@ -479,7 +486,7 @@ class SliCQT:
             idx = (b.starts[:, None] + ((np.arange(M) + l2) % M)[None, :]).astype(np.int32)
             t = ft_ext[..., jnp.asarray(idx)]                # (B,C,S,F,M)
             W = jnp.asarray(b.fwd_w)[parity]                 # (S,F,M)
-            c = jnp.einsum("bcsfm,mn->bcsfn", t * W[None, None], jnp.asarray(b.dft_inv))
+            c = jnp.einsum("bcsfm,mn->bcsfn", t * W[None, None], jnp.asarray(b.dft_inv), precision=_PREC)
             out.append(jnp.moveaxis(c, 3, 2))                # (B,C,F,S,M)
         return out
 
@@ -498,7 +505,8 @@ class SliCQT:
         for b, cb in zip(self.buckets, blocks):
             c = jnp.moveaxis(cb, 2, 3)                       # (B,C,S,F,M)
             spec = jnp.einsum(
-                "bcsfm,mn->bcsfn", c.astype(jnp.complex64), jnp.asarray(b.dft_fwd)
+                "bcsfm,mn->bcsfn", c.astype(jnp.complex64), jnp.asarray(b.dft_fwd),
+                precision=_PREC,
             )
             ramp = jnp.asarray(b.inv_ramp)[parity]           # (S,M)
             spec = spec * ramp[None, None, :, None, :]

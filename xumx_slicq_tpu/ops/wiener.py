@@ -78,6 +78,9 @@ def expectation_maximization(y: jnp.ndarray, x: jnp.ndarray, iterations: int = 2
     B, F, N, C = x.shape
     S = y.shape[-1]
 
+    if C == 2:
+        return _em_stereo(y, x, iterations, eps)
+
     reg = np.sqrt(eps) * jnp.eye(C, dtype=x.dtype)
     v = R = None
     for _ in range(iterations):
@@ -98,6 +101,57 @@ def expectation_maximization(y: jnp.ndarray, x: jnp.ndarray, iterations: int = 2
 
         # apply filter: y_s[c] = sum_e G[c,e,s] x[e]  (:391-413)
         y = jnp.einsum("bfnces,bfne->bfncs", G, x)
+    return y, v, R
+
+
+def _em_stereo(y: jnp.ndarray, x: jnp.ndarray, iterations: int, eps: float):
+    """C=2 EM with the channel/source axes unrolled into explicit 2x2
+    Hermitian algebra (same math as the einsum path / norbert).
+
+    The general path materializes Cxx (B,F,N,C,C) and the per-source gain
+    G (B,F,N,C,C,S) -- 8x the mixture tensor -- because tiny C=2/S-sized
+    contractions are expressed as einsums, which XLA cannot fuse across.
+    Unrolled, everything between the three frame-covariance reductions and
+    the output is one elementwise chain: with invC = [[i00,i01],[i01*,i11]]
+    and u = invC @ x (shared across sources), y_s = v_s * (R_s @ u).
+    Hermitian structure (R10 = R01*, det real) is used throughout, and no
+    (C,C)-sized tensor is ever materialized."""
+    x0, x1 = x[..., 0], x[..., 1]                                     # (B,F,N)
+    sqeps = float(np.sqrt(eps))
+    for _ in range(iterations):
+        y0, y1 = y[..., 0, :], y[..., 1, :]                           # (B,F,N,S)
+        a0, a1 = _abs2(y0), _abs2(y1)
+        v = 0.5 * (a0 + a1)                                           # (B,F,N,S)
+        # covariance accumulated over frames; weight = sum_f v = (c00+c11)/2
+        c00 = jnp.sum(a0, axis=1)                                     # (B,N,S) real
+        c11 = jnp.sum(a1, axis=1)
+        c01 = jnp.sum(y0 * jnp.conj(y1), axis=1)                      # (B,N,S) complex
+        w = 0.5 * (c00 + c11) + eps
+        R00, R11, R01 = c00 / w, c11 / w, c01 / w
+        # Cxx = sum_s v_s R_s + sqrt(eps) I, Hermitian: A01 complex, diag real
+        A00 = sum(v[..., s] * R00[:, None, :, s] for s in range(v.shape[-1])) + sqeps
+        A11 = sum(v[..., s] * R11[:, None, :, s] for s in range(v.shape[-1])) + sqeps
+        A01 = sum(v[..., s].astype(x.dtype) * R01[:, None, :, s] for s in range(v.shape[-1]))
+        det = A00 * A11 - _abs2(A01)                                  # real
+        i00, i11 = A11 / det, A00 / det                               # real
+        i01 = -A01 / det.astype(x.real.dtype)                         # complex; i10 = conj(i01)
+        u0 = i00.astype(x.dtype) * x0 + i01 * x1                      # (B,F,N)
+        u1 = jnp.conj(i01) * x0 + i11.astype(x.dtype) * x1
+        outs0 = [
+            v[..., s].astype(x.dtype)
+            * (R00[:, None, :, s].astype(x.dtype) * u0 + R01[:, None, :, s] * u1)
+            for s in range(v.shape[-1])
+        ]
+        outs1 = [
+            v[..., s].astype(x.dtype)
+            * (jnp.conj(R01[:, None, :, s]) * u0 + R11[:, None, :, s].astype(x.dtype) * u1)
+            for s in range(v.shape[-1])
+        ]
+        y = jnp.stack([jnp.stack(outs0, axis=-1), jnp.stack(outs1, axis=-1)], axis=-2)
+    R = jnp.stack([
+        jnp.stack([R00.astype(x.dtype), R01], axis=-2),
+        jnp.stack([jnp.conj(R01), R11.astype(x.dtype)], axis=-2),
+    ], axis=-3)                                                       # (B,N,C,C,S)
     return y, v, R
 
 
