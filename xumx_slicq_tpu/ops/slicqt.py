@@ -418,6 +418,43 @@ class SliCQT:
             inv_idx[p, : len(e)] = e
         self._inv_idx = inv_idx
         self.inv_overlap = O
+        self._build_v2_gather()
+
+    def _build_v2_gather(self):
+        """Fused synthesis assembly table (Hermitian-half plan only).
+
+        `backward` can gather straight into the (n2, h1) layout the
+        Hermitian-half iDFT consumes, skipping the intermediate half
+        spectrum entirely: row r < n2h reads fr[n1*r + k] (direct block);
+        row r >= n2h reads conj(fr[p']) with p' the mirror source of
+        `_irfft`'s H block (column 0: 60*(c'+1); column k: 60*c' + n1-k).
+        The per-position un-rotation phase (applied to fr before the iDFT
+        in the unfused path) rides along as a static (2, n2, h1) table,
+        conjugated on mirror rows. Identical floating-point results."""
+        self._v2_idx = None
+        if self._ct_half is None:
+            return
+        n1 = self._ct["n1"]
+        h1, n2h = self._ct_half["h1"], self._ct_half["n2h"]
+        n2 = self._ct["n2"]
+        p_of = np.zeros((n2, h1), dtype=np.int64)
+        conj_m = np.zeros((n2, h1), dtype=bool)
+        for c in range(n2h):                       # direct rows
+            for k in range(h1):
+                p_of[c, k] = n1 * c + k
+        for cp in range(n2h - 1):                  # mirror rows
+            r = n2h + cp
+            conj_m[r, :] = True
+            p_of[r, 0] = n1 * (cp + 1)
+            for k in range(1, h1):
+                p_of[r, k] = n1 * cp + (n1 - k)
+        assert p_of.max() < self.nh
+        self._v2_idx = self._inv_idx[p_of.reshape(-1)]          # (n2*h1, O)
+        self._v2_conj = conj_m                                   # (n2, h1)
+        unrot = np.asarray(self._unrot)                          # (2, nh)
+        ph = unrot[:, p_of]                                      # (2, n2, h1)
+        ph = np.where(conj_m[None], np.conj(ph), ph)
+        self._v2_phase = ph.astype(np.complex64)
 
     # -- shape helpers -------------------------------------------------------
 
@@ -529,11 +566,29 @@ class SliCQT:
             for v, pad in zip(vals, self._piece_pads)
         ]
         V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
-        fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
-        # physical->temporal slice un-rotation as a spectral phase
-        parity = np.arange(S) % 2
-        fr = fr * jnp.asarray(self._unrot)[parity][None, None]
-        sig_slices = self._irfft(fr)                                   # (B,C,S,nn)
+        if self._v2_idx is not None:
+            # fused assembly: gather straight into the Hermitian-half iDFT's
+            # (n2, h1) input layout -- no intermediate half spectrum, no
+            # separate un-rotation pass (the phase/conj ride the static
+            # table). Same summands in the same order as the unfused path.
+            ct, ch = self._ct, self._ct_half
+            n1, n2, h1 = ct["n1"], ct["n2"], ch["h1"]
+            g = jnp.take(V, jnp.asarray(self._v2_idx), axis=-1).sum(-1)
+            g = g.reshape(B, C, S, n2, h1)
+            g = jnp.where(jnp.asarray(self._v2_conj)[None, None, None], jnp.conj(g), g)
+            parity = np.arange(S) % 2
+            V2 = g * jnp.asarray(self._v2_phase)[parity][None, None]
+            Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2, precision=_PREC)
+            Zt = Zt * jnp.asarray(ch["twh"])
+            Zs = jnp.concatenate([jnp.real(Zt), jnp.imag(Zt)], axis=-2)
+            z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ch["E1ih"]), Zs, precision=_PREC)
+            sig_slices = z.reshape(B, C, S, n1 * n2)
+        else:
+            fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
+            # physical->temporal slice un-rotation as a spectral phase
+            parity = np.arange(S) % 2
+            fr = fr * jnp.asarray(self._unrot)[parity][None, None]
+            sig_slices = self._irfft(fr)                                   # (B,C,S,nn)
         return self.unslice_signal(sig_slices, length)
 
     def unslice_signal(self, sig_slices: jnp.ndarray, length: int) -> jnp.ndarray:
