@@ -256,6 +256,7 @@ class SliCQT:
                 smooth *= p
                 rest //= p
         self._ct = None
+        self._ct_half = None
         if rest == 1 or rest > 512:
             return
         n1, n2 = smooth, rest          # k = k1 + n1*k2 ; n = n2*a + b
@@ -301,6 +302,10 @@ class SliCQT:
                 Wcat=np.concatenate([W2i[:, :n2h], W2m], axis=1).astype(np.complex64),  # (b, n2)
                 twh=self._ct["tw"][:h1],             # (h1, b)
                 E1ih=E1ih,
+                # analysis half: rows c <= n2//2 of the W2 matmul cover
+                # X[0 .. n2h*n1) exactly; the rest of the spectrum is the
+                # Hermitian mirror (input is real)
+                W2h=self._ct["W2"][:n2h],            # (n2h, b)
             )
 
     def _fft_full(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -318,6 +323,20 @@ class SliCQT:
         F1 = F1 * jnp.conj(jnp.asarray(ct["tw"]))                        # (k1, b)
         X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ct["W2"]), precision=_PREC)     # over b -> k2; out (..., k2, k1)
         return X.reshape(*x.shape[:-1], n1 * n2)                          # k = k1 + n1*k2
+
+    def _fft_half(self, x: jnp.ndarray) -> jnp.ndarray:
+        """X[0 .. n2h*n1) of real slices (..., nn): the W2 DFT matmul
+        restricted to rows c <= n2//2 — half the contraction output. The
+        rest of the spectrum is conj-mirrored by the callers' static
+        tables (real input)."""
+        ct, ch = self._ct, self._ct_half
+        n1, n2h = ct["n1"], ch["n2h"]
+        xr = x.reshape(*x.shape[:-1], n1, ct["n2"])
+        F = jnp.einsum("ka,...ab->...kb", jnp.asarray(ct["E1ri"]), xr, precision=_PREC)
+        F1 = jax.lax.complex(F[..., :n1, :], F[..., n1:, :])
+        F1 = F1 * jnp.conj(jnp.asarray(ct["tw"]))
+        X = jnp.einsum("...kb,cb->...ck", F1, jnp.asarray(ch["W2h"]), precision=_PREC)
+        return X.reshape(*x.shape[:-1], n2h * n1)
 
     def _irfft(self, fr: jnp.ndarray) -> jnp.ndarray:
         """Real inverse of a half spectrum (..., nh) -> (..., nn)."""
@@ -432,6 +451,7 @@ class SliCQT:
         in the unfused path) rides along as a static (2, n2, h1) table,
         conjugated on mirror rows. Identical floating-point results."""
         self._v2_idx = None
+        self._fwd_half = None
         if self._ct_half is None:
             return
         n1 = self._ct["n1"]
@@ -455,6 +475,34 @@ class SliCQT:
         ph = unrot[:, p_of]                                      # (2, n2, h1)
         ph = np.where(conj_m[None], np.conj(ph), ph)
         self._v2_phase = ph.astype(np.complex64)
+        self._build_forward_half()
+
+    def _build_forward_half(self):
+        """Per-bucket analysis gather tables over the HALF spectrum.
+
+        The analysis gathers read the extended full spectrum ft_ext
+        (nn + maxM wrap). With _fft_half computing X on [0, Lh = n2h*n1)
+        only, each gathered position p remaps statically: p < Lh reads
+        X[p]; p in [Lh, nn) reads conj(X[nn-p]) (real input Hermitian
+        mirror); p >= nn wraps to X[p-nn]. The conj rides as a -1 sign on
+        the imaginary part, fused into the analysis weight multiply."""
+        self._fwd_half = None
+        if self._ct_half is None:
+            return
+        Lh = self._ct_half["n2h"] * self._ct["n1"]
+        nn = self.nn
+        if self.maxM > Lh:
+            return
+        tabs = []
+        for b in self.buckets:
+            M = b.M
+            l2 = M // 2
+            p = (b.starts[:, None] + ((np.arange(M) + l2) % M)[None, :]).astype(np.int64)
+            src = np.where(p < Lh, p, np.where(p < nn, nn - p, p - nn))
+            sgn = np.where((p >= Lh) & (p < nn), -1.0, 1.0)
+            assert src.max() < Lh and src.min() >= 0
+            tabs.append((src.astype(np.int32), sgn.astype(np.float32)))
+        self._fwd_half = tabs
 
     # -- shape helpers -------------------------------------------------------
 
@@ -510,10 +558,24 @@ class SliCQT:
         fused complex-weight multiply (window x coefficient roll x arrange
         ramp x slice-rotation phase), and one batched iFFT."""
         slices = self._slice_temporal(x)                     # (B,C,S,nn)
+        B, C, S = slices.shape[:3]
+        parity = np.arange(S) % 2                            # (S,)
+
+        if self._fwd_half is not None:
+            # half-spectrum analysis: gathers remap into [0, Lh) with a
+            # static conj sign (see _build_forward_half)
+            ft_h = self._fft_half(slices)                    # (B,C,S,Lh)
+            out = []
+            for b, (src, sgn) in zip(self.buckets, self._fwd_half):
+                t = ft_h[..., jnp.asarray(src)]              # (B,C,S,F,M)
+                t = jax.lax.complex(jnp.real(t), jnp.imag(t) * jnp.asarray(sgn))
+                W = jnp.asarray(b.fwd_w)[parity]             # (S,F,M)
+                c = jnp.einsum("bcsfm,mn->bcsfn", t * W[None, None], jnp.asarray(b.dft_inv), precision=_PREC)
+                out.append(jnp.moveaxis(c, 3, 2))            # (B,C,F,S,M)
+            return out
+
         ft_full = self._fft_full(slices)                     # (B,C,S,nn)
         ft_ext = jnp.concatenate([ft_full, ft_full[..., : self.maxM]], axis=-1)
-        B, C, S = ft_full.shape[:3]
-        parity = np.arange(S) % 2                            # (S,)
 
         out = []
         for b in self.buckets:
