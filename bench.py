@@ -25,6 +25,9 @@ Modes:
                  prints {"metric": "train_step_time_s", ...}; baseline is
                  the reference's ~170 s RTX 3090 epoch / 86 steps of batch
                  64 (README.md:191) = 1.977 s/step.
+  --realtime     bench the realtime model variant (causal convs + phasemix
+                 instead of Wiener-EM) — the exact tier the 2.08 s GPU
+                 baseline measures
   --profile DIR  capture an xprof trace of the timed region into DIR.
 
 Baseline: 2.08 s per track -- the reference's best number (realtime model,
@@ -78,7 +81,7 @@ def _profiled(profile_dir):
     return profile_trace(profile_dir)
 
 
-def bench_inference(profile_dir=None):
+def bench_inference(profile_dir=None, realtime=False):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +98,9 @@ def bench_inference(profile_dir=None):
 
     slicqt = SliCQT()  # canonical bark-262 flagship config
     shapes = slicqt.block_shapes(1, 2, int(2.0 * sr))
-    model = Unmix(shapes, realtime=False)  # offline = embedded Wiener-EM
+    # offline = embedded Wiener-EM (the 4.4 dB tier); realtime = causal
+    # convs + phasemix (the reference tier the 2.08 s baseline measures)
+    model = Unmix(shapes, realtime=realtime)
     params, stats = model.init(jax.random.PRNGKey(0))
 
     dev = jax.devices()[0]
@@ -143,7 +148,7 @@ def bench_inference(profile_dir=None):
 
     baseline = 2.08  # s/track, reference realtime model on RTX 3090 (README.md:157)
     print(json.dumps({
-        "metric": "inference_time_per_track_s",
+        "metric": "realtime_inference_time_per_track_s" if realtime else "inference_time_per_track_s",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
@@ -151,7 +156,8 @@ def bench_inference(profile_dir=None):
     print(
         f"# device={dev} compile={compile_s:.1f}s device_exec_runs={[round(t, 3) for t in times]} "
         f"h2d_staging={h2d_s:.1f}s d2h_stems={d2h_s:.1f}s (dev tunnel ~20MB/s) "
-        f"track={track_seconds}s chunks={nchunks} model=offline(bark-262, Wiener-EM) "
+        f"track={track_seconds}s chunks={nchunks} "
+        f"model={'realtime(bark-262, phasemix)' if realtime else 'offline(bark-262, Wiener-EM)'} "
         f"baseline=2.08s (reference realtime model, RTX 3090)",
         file=sys.stderr,
     )
@@ -240,13 +246,16 @@ def main():
     p.add_argument("--train-step", action="store_true",
                    help="measure the canonical training step instead of inference")
     p.add_argument("--batch", type=int, default=64, help="train-step batch size")
+    p.add_argument("--realtime", action="store_true",
+                   help="bench the realtime model variant (causal convs + "
+                        "phasemix) -- same tier as the 2.08 s GPU baseline")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
     if args.train_step:
         bench_train_step(profile_dir=args.profile, batch=args.batch)
     else:
-        bench_inference(profile_dir=args.profile)
+        bench_inference(profile_dir=args.profile, realtime=args.realtime)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,21 @@ def test_separator_chunking_consistency(tiny_model_dir):
     np.testing.assert_allclose(a[..., :8000], b[..., :8000], atol=5e-4)
 
 
+def test_separator_mesh_sharded(tiny_model_dir):
+    """Chunk-sharded multi-chip inference matches single-device output
+    (8-device virtual mesh; weights replicated, chunk axis sharded)."""
+    from xumx_slicq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, platform="cpu")
+    sep_mesh = Separator.load(model_path=tiny_model_dir, mesh=mesh, chunk_size=16384)
+    sep_one = Separator.load(model_path=tiny_model_dir, runtime_backend="jax-cpu", chunk_size=16384)
+    x = np.random.default_rng(2).standard_normal((1, 2, 3 * 16384)).astype(np.float32) * 0.1
+    a = sep_mesh(x)
+    b = sep_one(x)
+    assert a.shape == b.shape == (4, 1, 2, 3 * 16384)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_separator_short_input(tiny_model_dir):
     """Inputs shorter than sllen/2+1 are padded (separator.py:162-168)."""
     sep = Separator.load(model_path=tiny_model_dir, runtime_backend="jax-cpu")

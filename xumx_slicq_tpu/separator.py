@@ -86,8 +86,14 @@ class Separator:
         sample_rate: float = 44100.0,
         chunk_size: Optional[int] = 2621440,
         device=None,
+        mesh=None,
         quiet: bool = True,
     ):
+        """`mesh`: optional 1-axis jax.sharding.Mesh. When given, a single
+        track's chunk batch is sharded over the mesh axis (weights
+        replicated) so one song fans out across chips — the multi-chip
+        analogue of the reference's single-GPU chunk loop
+        (separator.py:150-180). Mutually exclusive with `device`."""
         enable_compilation_cache()
         self.slicqt = slicqt
         self.model = model
@@ -95,7 +101,17 @@ class Separator:
         self.chunk_size = chunk_size if chunk_size is not None else sys.maxsize
         self.quiet = quiet
         self.device = device
-        if device is not None:
+        self.mesh = mesh
+        if mesh is not None:
+            if device is not None:
+                raise ValueError("pass either device or mesh, not both")
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._axis = mesh.axis_names[0]
+            rep = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, rep)
+            batch_stats = jax.device_put(batch_stats, rep)
+            self._data_sharding = NamedSharding(mesh, PartitionSpec(self._axis))
+        elif device is not None:
             params = jax.device_put(params, device)
             batch_stats = jax.device_put(batch_stats, device)
         self.params = params
@@ -110,11 +126,20 @@ class Separator:
 
         slicqt = self.slicqt
         model = self.model
+        mesh_mode = self.mesh is not None
 
         def run(params, batch_stats, audio):
             X = slicqt.forward(audio)                       # list[(B,C,F,S,M)]
             Y, _, _ = model.apply(params, batch_stats, X, train=False)
-            # fold the target axis into batch for one inverse transform
+            # fold the target axis into batch for one inverse transform. In
+            # mesh mode fold BATCH-major so the sharded chunk axis stays
+            # outermost (target-major interleaves the shards, forcing a
+            # cross-chip regroup before synthesis).
+            if mesh_mode:
+                Yb = [jnp.moveaxis(y, 0, 1).reshape((-1,) + y.shape[2:]) for y in Y]
+                est = slicqt.backward(Yb, chunk_len)        # (B*4, C, L)
+                est = est.reshape(-1, 4, est.shape[1], chunk_len)
+                return jnp.moveaxis(est, 1, 0)              # (4, B, C, L)
             Yb = [y.reshape((-1,) + y.shape[2:]) for y in Y]
             est = slicqt.backward(Yb, chunk_len)            # (4*B, C, L)
             return est.reshape(4, -1, est.shape[1], chunk_len)
@@ -139,6 +164,23 @@ class Separator:
         B, C, N = audio_big.shape
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
+
+        if self.mesh is not None and B == 1:
+            # multi-chip: pad the chunk count to a bucketed multiple of the
+            # mesh size and shard the chunk axis; weights are replicated so
+            # the jitted pipeline partitions with no cross-chip collectives
+            n_dev = self.mesh.devices.size
+            nb = n_dev * next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= nchunks)
+            flat = np.zeros((nb, C, chunk), audio_big.dtype)
+            for ci in range(nchunks):
+                lo = ci * chunk
+                hi = min(lo + chunk, N)
+                flat[ci, :, : hi - lo] = audio_big[0, :, lo:hi]
+            a = jax.device_put(flat, self._data_sharding)
+            fn = self._chunk_fn(chunk)
+            est = np.asarray(fn(self.params, self.batch_stats, a))
+            est = est[:, :nchunks].transpose(0, 2, 1, 3)
+            return est.reshape(4, 1, C, nchunks * chunk)[..., :N]
 
         if B == 1 and nchunks > 1 and nchunks <= self._CHUNK_BATCH_BUCKETS[-1]:
             nb = next(b for b in self._CHUNK_BATCH_BUCKETS if b >= nchunks)
@@ -207,13 +249,16 @@ class Separator:
         runtime_backend: str = "jax-auto",
         warmup: int = 0,
         realtime: bool = False,
+        mesh=None,
         quiet: bool = True,
     ) -> "Separator":
         """Build a Separator from a model directory.
 
         The directory must hold a JSON manifest plus either our native
-        `params.msgpack` or a reference-style `xumx_slicq_v2.pth`."""
-        device = _resolve_device(runtime_backend)
+        `params.msgpack` or a reference-style `xumx_slicq_v2.pth`.
+        `mesh`: optional 1-axis Mesh for multi-chip chunk-sharded
+        inference (overrides runtime_backend's device choice)."""
+        device = None if mesh is not None else _resolve_device(runtime_backend)
 
         if model_path is None:
             raise ValueError(
@@ -253,6 +298,7 @@ class Separator:
             sample_rate=args.get("sample_rate", 44100.0),
             chunk_size=chunk_size,
             device=device,
+            mesh=mesh,
             quiet=quiet,
         )
         if warmup > 0:
