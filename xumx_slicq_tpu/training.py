@@ -201,16 +201,17 @@ def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = 
     reference's tuning objective, optuna.py:160-177)."""
 
     def loss_fn(params, batch_stats, batch, rng):
-        x = batch[:, 0]
         y = batch[:, 1:]                                   # (B, 4, C, L)
         B, T4, C, L = y.shape
 
-        X = slicqt.forward(x)
-        Y_est, Y_masks, new_stats = model.apply(params, batch_stats, X, train=True, rng=rng)
+        # mix + 4 targets in ONE transform call (folded into batch): one
+        # set of analysis programs at 5B instead of two at B and 4B
+        X5 = slicqt.forward(batch.reshape(B * 5, C, L))
+        blocks5 = [c.reshape(B, 5, *c.shape[1:]) for c in X5]
+        X = [c[:, 0] for c in blocks5]
+        Y_tgt = [c[:, 1:].swapaxes(0, 1) for c in blocks5]
 
-        # all 4 targets in one transform call (targets folded into batch)
-        Yt = slicqt.forward(y.reshape(B * 4, C, L))
-        Y_tgt = [c.reshape(B, 4, *c.shape[1:]).swapaxes(0, 1) for c in Yt]
+        Y_est, Y_masks, new_stats = model.apply(params, batch_stats, X, train=True, rng=rng)
 
         total = losses.complex_mse_loss(Y_est, Y_tgt)
         if mask_sum_coef > 0.0:
