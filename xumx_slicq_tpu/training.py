@@ -222,7 +222,12 @@ def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = 
             total = total + sdr_mcoef * losses.sdsdr_loss(y_est_wave, y.swapaxes(0, 1))
         return total, new_stats
 
-    @jax.jit
+    # donate params/stats/opt_state: the step replaces them, so XLA can
+    # update the (large) optimizer and weight buffers in place instead of
+    # allocating + copying fresh ones each step (donation is a no-op on the
+    # CPU test backend). Callers must thread the returned state, as the
+    # training loop and bench already do.
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, batch, rng=None):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
