@@ -116,6 +116,8 @@ def _em_stereo(y: jnp.ndarray, x: jnp.ndarray, iterations: int, eps: float):
     and u = invC @ x (shared across sources), y_s = v_s * (R_s @ u).
     Hermitian structure (R10 = R01*, det real) is used throughout, and no
     (C,C)-sized tensor is ever materialized."""
+    if iterations <= 0:
+        return y, None, None  # match the general path's no-iteration result
     x0, x1 = x[..., 0], x[..., 1]                                     # (B,F,N)
     sqeps = float(np.sqrt(eps))
     for _ in range(iterations):

@@ -165,12 +165,19 @@ class Separator:
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
 
+        bucket = None
         if self.mesh is not None and B == 1:
+            n_dev = self.mesh.devices.size
+            bucket = next(
+                (b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= nchunks), None
+            )
+        if bucket is not None:
             # multi-chip: pad the chunk count to a bucketed multiple of the
             # mesh size and shard the chunk axis; weights are replicated so
-            # the jitted pipeline partitions with no cross-chip collectives
-            n_dev = self.mesh.devices.size
-            nb = n_dev * next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= nchunks)
+            # the jitted pipeline partitions with no cross-chip collectives.
+            # (Tracks beyond the largest bucket fall through to the
+            # sequential chunk loop below.)
+            nb = n_dev * bucket
             flat = np.zeros((nb, C, chunk), audio_big.dtype)
             for ci in range(nchunks):
                 lo = ci * chunk
