@@ -40,7 +40,16 @@ def inference_main(argv=None):
     parser.add_argument("--warmup-iters", type=int, default=0)
     parser.add_argument("--model-path", type=str, default=None)
     parser.add_argument("--chunk-size", type=int, default=2621440)
+    parser.add_argument("--n-devices", type=int, default=0,
+                        help="shard each track's chunk batch over this many "
+                             "local devices (0 = single device)")
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices)
 
     separator = Separator.load(
         chunk_size=args.chunk_size,
@@ -48,6 +57,7 @@ def inference_main(argv=None):
         realtime=args.realtime,
         warmup=args.warmup_iters,
         model_path=args.model_path,
+        mesh=mesh,
     )
 
     dur = args.duration if args.duration is not None and args.duration > 0 else None
