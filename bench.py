@@ -164,18 +164,21 @@ def bench_inference(profile_dir=None, realtime=False):
     print(f"# {_mfu_note('inference', flops, value)}", file=sys.stderr)
 
     # on-device numeric accuracy: transform roundtrip on chunk 0 (the DFT
-    # matmuls are pinned to Precision.HIGHEST; XLA's TPU default would be
-    # single-pass bf16 at ~4e-2)
+    # matmuls are pinned to Precision.HIGH = bf16x3, slicqt.py _PREC,
+    # measured ~3e-5; XLA's TPU default would be single-pass bf16 at ~4e-2,
+    # HIGHEST = bf16x6 measured 1.3e-7 but +25% pipeline time)
     rt = jax.jit(lambda a: slicqt.backward(slicqt.forward(a), chunk))
     err = float(np.asarray(jnp.abs(rt(track_dev[:1]) - track_dev[:1]).max()))
     print(f"# accuracy: on-device transform roundtrip max-abs-err={err:.2e}", file=sys.stderr)
 
 
-def bench_train_step(profile_dir=None, batch=64):
+def bench_train_step(profile_dir=None, batch=64, bf16=False):
     """Canonical training step: bark-262, 2 s sequences, batch 64, offline
     model with full Wiener-EM backprop, MSE+mask-sum loss, AdamW update
     (the reference trains this at ~170 s/epoch = 86 batch-64 steps on an
-    RTX 3090, README.md:191)."""
+    RTX 3090, README.md:191). --bf16 measures the mixed-precision trainer
+    (conv/matmul operands bf16, fp32 accumulation + master weights — the
+    reference's autocast scope, training.py:69-70)."""
     import jax
     import optax
 
@@ -190,7 +193,7 @@ def bench_train_step(profile_dir=None, batch=64):
     L = 2 * sr
     slicqt = SliCQT()
     shapes = slicqt.block_shapes(batch, 2, L)
-    model = Unmix(shapes, realtime=False)
+    model = Unmix(shapes, realtime=False, amp=bf16)
     params, stats = model.init(jax.random.PRNGKey(0))
     optimizer = optax.inject_hyperparams(optax.adamw)(
         learning_rate=1e-3, weight_decay=1e-5
@@ -226,7 +229,7 @@ def bench_train_step(profile_dir=None, batch=64):
 
     baseline = 170.0 / 86.0  # s/step: reference epoch / 86 batch-64 steps (README.md:191)
     print(json.dumps({
-        "metric": "train_step_time_s",
+        "metric": "train_step_bf16_time_s" if bf16 else "train_step_time_s",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
@@ -234,7 +237,7 @@ def bench_train_step(profile_dir=None, batch=64):
     print(
         f"# device={dev} compile={compile_s:.1f}s step_runs={[round(t, 3) for t in times]} "
         f"h2d={h2d_s:.1f}s batch={batch} seq=2.0s loss={float(np.asarray(loss)):.5f} "
-        f"model=offline(bark-262, Wiener-EM backprop) "
+        f"model=offline(bark-262, Wiener-EM backprop) precision={'bf16-amp' if bf16 else 'fp32'} "
         f"baseline={baseline:.3f}s/step (reference ~170s RTX 3090 epoch / 86 steps)",
         file=sys.stderr,
     )
@@ -246,6 +249,8 @@ def main():
     p.add_argument("--train-step", action="store_true",
                    help="measure the canonical training step instead of inference")
     p.add_argument("--batch", type=int, default=64, help="train-step batch size")
+    p.add_argument("--bf16", action="store_true",
+                   help="train-step in bf16 mixed precision (--bf16 trainer mode)")
     p.add_argument("--realtime", action="store_true",
                    help="bench the realtime model variant (causal convs + "
                         "phasemix) -- same tier as the 2.08 s GPU baseline")
@@ -253,7 +258,7 @@ def main():
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
     if args.train_step:
-        bench_train_step(profile_dir=args.profile, batch=args.batch)
+        bench_train_step(profile_dir=args.profile, batch=args.batch, bf16=args.bf16)
     else:
         bench_inference(profile_dir=args.profile, realtime=args.realtime)
 

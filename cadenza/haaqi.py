@@ -25,15 +25,30 @@ papers (Kates & Arehart 2016; Kates 2013 auditory-model framework):
 Validation scope (the clarity implementation itself is unavailable offline,
 so value-for-value parity is not checkable here; these properties are
 verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
-  * the published combination model reproduces its worked values exactly
-    (perfect features -> 0.998, all-zero features -> 0; `combination_model`);
-  * normal-hearing identity: haaqi(x, x | no loss) > 0.85 (~1);
-  * scores decrease strictly monotonically with additive-noise level and
+  * PER-STAGE anchors against published worked values:
+      - auditory filter bandwidths equal Glasberg & Moore (1990) ERB
+        values (51.7 / 132.6 / 456.5 Hz at 250 / 1000 / 4000 Hz), and the
+        implemented gammatone band's MEASURED equivalent rectangular
+        bandwidth matches ERB(cf) within 1% (the property the 1.019
+        Patterson constant is fitted to), scaling linearly with the
+        hearing-loss broadening factor;
+      - 32 bands uniformly spaced on the ERB-rate scale over 80-8000 Hz;
+      - env_smooth unit normalization; melcor9 == 1 for identical
+        envelopes; spect_diff == (1, 1) for identical spectra;
+      - the combination model reproduces the Kates & Arehart (2016)
+        coefficients digit-for-digit at interior worked points
+        (e.g. Q(0.5, 0.5, 0.5, 0.5) = 0.13739) and at the extremes
+        (perfect features -> 0.999, all-zero -> 0);
+  * end-to-end invariants: normal-hearing identity haaqi(x, x) > 0.85;
+    scores decrease strictly monotonically with additive-noise level and
     degrade under hearing loss;
   * separation-like degradations (stem + bleed) under CAD1-style impaired
     audiograms score inside the support of the reference's published
     700-pair distribution (.github/cadenza-results/scores.csv: per-stem
     scores ~0.08-0.29, pair means 0.15-0.29, mean 0.205).
+
+Remaining caveat: a consistent scale bug INSIDE the anchored support could
+still pass; exact clarity parity needs the clarity source, absent here.
 """
 
 import numpy as np

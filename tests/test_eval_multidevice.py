@@ -25,6 +25,8 @@ def test_parallel_evaluation_concurrency():
     active = set()
     max_active = [0]
     scoring_during_separation = [0]
+    separations_done = [0]
+    results_seen_mid_run = [0]
 
     def fake_separate(sep, td):
         with lock:
@@ -33,6 +35,7 @@ def test_parallel_evaluation_concurrency():
         time.sleep(0.25)
         with lock:
             active.discard(sep)
+            separations_done[0] += 1
         return td
 
     def fake_score(payload, td):
@@ -44,9 +47,18 @@ def test_parallel_evaluation_concurrency():
 
     tracks = list(range(8))
     seps = ["dev0", "dev1", "dev2", "dev3"]
+
+    def on_result(ts):
+        # streaming contract (VERDICT r2 weak 3): results must arrive
+        # while separations are still running, not in a burst at the end
+        with lock:
+            if separations_done[0] < len(tracks):
+                results_seen_mid_run[0] += 1
+
     t0 = time.time()
     res = run_parallel_evaluation(
-        tracks, seps, separate_fn=fake_separate, score_fn=fake_score
+        tracks, seps, separate_fn=fake_separate, score_fn=fake_score,
+        on_result=on_result,
     )
     wall = time.time() - t0
 
@@ -54,6 +66,7 @@ def test_parallel_evaluation_concurrency():
     assert [r.name for r in res] == [str(i) for i in tracks]  # order preserved
     assert max_active[0] >= 3, f"separations did not overlap (max {max_active[0]})"
     assert scoring_during_separation[0] > 0, "scoring never overlapped separation"
+    assert results_seen_mid_run[0] > 0, "on_result only fired after all separations"
     # serial cost is 8*(0.25+0.25) = 4.0 s; the pipeline should land well
     # under half of that (2 separation waves + trailing eval ~ 0.75 s)
     assert wall < 2.0, f"pipeline too slow ({wall:.2f}s) — not parallel"

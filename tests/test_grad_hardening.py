@@ -28,11 +28,11 @@ def _all_finite(tree) -> bool:
     return all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(tree))
 
 
-def _setup(lstm=False, sdr_mcoef=-1.0, batch=2):
+def _setup(lstm=False, sdr_mcoef=-1.0, batch=2, amp=False):
     L = int(SEQ_DUR * SR)
     t = SliCQT(**TINY)
     shapes = t.block_shapes(batch, 2, L)
-    m = Unmix(shapes, lstm=lstm)
+    m = Unmix(shapes, lstm=lstm, amp=amp)
     params, stats = m.init(jax.random.PRNGKey(0))
     opt = optax.adamw(1e-3)
     opt_state = opt.init(params)
@@ -40,11 +40,13 @@ def _setup(lstm=False, sdr_mcoef=-1.0, batch=2):
     return t, m, params, stats, opt_state, train_step, L
 
 
+@pytest.mark.parametrize("amp", [False, True], ids=["fp32", "bf16"])
 @pytest.mark.parametrize("batch_kind", ["all_zero", "silent_stem"])
-def test_silent_batch_finite_train_step(batch_kind):
+def test_silent_batch_finite_train_step(batch_kind, amp):
     """One full train step on silent audio: finite loss AND finite params
-    after the AdamW update (NaN grads would poison the params)."""
-    t, m, params, stats, opt_state, train_step, L = _setup(sdr_mcoef=0.1)
+    after the AdamW update (NaN grads would poison the params). Runs in
+    both fp32 and bf16 mixed precision (--bf16 trainer mode)."""
+    t, m, params, stats, opt_state, train_step, L = _setup(sdr_mcoef=0.1, amp=amp)
     rng = np.random.default_rng(0)
     if batch_kind == "all_zero":
         batch = np.zeros((2, 5, 2, L), np.float32)

@@ -73,6 +73,41 @@ def test_separator_mesh_sharded(tiny_model_dir):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+def test_separator_mesh_long_track_waves(tiny_model_dir):
+    """A track with more chunks than the largest bucket x n_dev must run in
+    multiple full-mesh waves (not a single-device fallback) and match the
+    single-device output (VERDICT r2 item 6)."""
+    from xumx_slicq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, platform="cpu")
+    sep_mesh = Separator.load(model_path=tiny_model_dir, mesh=mesh, chunk_size=16384)
+    # shrink the bucket set so cap = 2 buckets x 2 devices = 4 < 5 chunks
+    sep_mesh._CHUNK_BATCH_BUCKETS = (1, 2)
+    sep_one = Separator.load(model_path=tiny_model_dir, runtime_backend="jax-cpu", chunk_size=16384)
+    N = 5 * 16384 - 3000  # 5 chunks incl. short last chunk -> 2 waves (4+1)
+    x = np.random.default_rng(5).standard_normal((1, 2, N)).astype(np.float32) * 0.1
+    a = sep_mesh(x)
+    b = sep_one(x)
+    assert a.shape == b.shape == (4, 1, 2, N)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_separator_mesh_batched_input(tiny_model_dir):
+    """B > 1 with a mesh: each item fans out over the mesh (the r2 silent
+    single-device fallback is gone); output matches the single-device
+    batched path."""
+    from xumx_slicq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, platform="cpu")
+    sep_mesh = Separator.load(model_path=tiny_model_dir, mesh=mesh, chunk_size=16384)
+    sep_one = Separator.load(model_path=tiny_model_dir, runtime_backend="jax-cpu", chunk_size=16384)
+    x = np.random.default_rng(6).standard_normal((2, 2, 2 * 16384)).astype(np.float32) * 0.1
+    a = sep_mesh(x)
+    b = sep_one(x)
+    assert a.shape == b.shape == (4, 2, 2, 2 * 16384)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_separator_short_input(tiny_model_dir):
     """Inputs shorter than sllen/2+1 are padded (separator.py:162-168)."""
     sep = Separator.load(model_path=tiny_model_dir, runtime_backend="jax-cpu")

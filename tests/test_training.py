@@ -101,6 +101,39 @@ def test_training_hybrid_dp_tp(tmp_path):
     np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-4)
 
 
+@pytest.mark.slow
+def test_training_bf16_tracks_fp32(tmp_path):
+    """bf16 mixed-precision training (--bf16): the synthetic-dataset loss
+    trajectory must track the fp32 run within bf16 rounding tolerance, and
+    master weights must stay fp32 (reference trains under bf16 autocast,
+    training.py:69-70)."""
+    from flax import serialization
+
+    base = [
+        "--synthetic-dataset",
+        "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
+        "--seq-dur", "0.3", "--batch-size", "4", "--epochs", "2",
+        "--debug", "--max-batches-per-epoch", "2", "--quiet",
+    ]
+    bf16_losses, _ = training_main(base + ["--model-path", str(tmp_path / "bf16"), "--bf16"])
+    fp32_losses, _ = training_main(base + ["--model-path", str(tmp_path / "fp32")])
+    assert np.isfinite(bf16_losses).all()
+    assert bf16_losses[1] < bf16_losses[0]
+    # trajectories agree to bf16 rounding (operand cast ~3 decimal digits)
+    np.testing.assert_allclose(bf16_losses, fp32_losses, rtol=2e-2)
+
+    # master weights stored fp32
+    with open(tmp_path / "bf16" / "params.msgpack", "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    leaves = jax.tree.leaves(blob["params"])
+    assert all(l.dtype == np.float32 for l in leaves if hasattr(l, "dtype"))
+
+    # the bf16 manifest records the flag so inference/resume can rebuild
+    with open(tmp_path / "bf16" / "xumx_slicq_tpu.json") as f:
+        manifest = json.load(f)
+    assert manifest["args"]["bf16"] is True
+
+
 def test_target_shardings_rule():
     """Target-stacked leaves shard over tp; whitening vectors and scalars
     stay replicated."""
@@ -113,11 +146,17 @@ def test_target_shardings_rule():
     tree = {
         "enc1_w": np.zeros((4, 50, 2, 1, 8), np.float32),
         "dec2_b": np.zeros((4, 2), np.float32),
+        "bn1": {"scale": np.zeros((4, 50), np.float32)},
         "input_mean": np.zeros(4, np.float32),  # 1-D, even with F == 4
         "count": np.zeros((), np.float32),
+        # unknown name with a coincidental leading-4 shape must stay
+        # replicated (path/name matching, ADVICE r2)
+        "future_buf": np.zeros((4, 8), np.float32),
     }
     sh = target_shardings(tree, mesh)
     assert sh["enc1_w"].spec == P("tp")
     assert sh["dec2_b"].spec == P("tp")
+    assert sh["bn1"]["scale"].spec == P("tp")
     assert sh["input_mean"].spec == P()
     assert sh["count"].spec == P()
+    assert sh["future_buf"].spec == P()

@@ -23,13 +23,25 @@ def test_median_pruner():
 
 
 @pytest.mark.slow
-def test_tuning_smoke_sdr_objective(tmp_path):
-    """Two trials on synthetic data; the study must record finite SDR
-    objectives (negative SD-SDR through the inverse transform, the
-    reference protocol) and resume-safe JSON."""
+def test_tuning_smoke_sdr_objective(tmp_path, monkeypatch):
+    """Two 2-epoch trials on synthetic data; the study must record finite
+    SDR objectives (negative SD-SDR through the inverse transform, the
+    reference protocol), resume-safe JSON, and — the r2 weak-2 fix — ONE
+    model init (= one trace) per trial, not one per epoch."""
+    from xumx_slicq_tpu.models import Unmix
+
+    init_calls = [0]
+    orig_init = Unmix.init
+
+    def counting_init(self, key):
+        init_calls[0] += 1
+        return orig_init(self, key)
+
+    monkeypatch.setattr(Unmix, "init", counting_init)
+
     best = tuning_main([
         "--study-dir", str(tmp_path),
-        "--n-trials", "2", "--trial-epochs", "1",
+        "--n-trials", "2", "--trial-epochs", "2",
         "--batch-size", "4", "--seq-dur", "0.3",
         "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
         "--synthetic-dataset", "--max-batches-per-epoch", "2",
@@ -39,6 +51,9 @@ def test_tuning_smoke_sdr_objective(tmp_path):
     vals = [t["value"] for t in study["trials"] if "value" in t]
     assert vals and all(np.isfinite(v) for v in vals)
     assert best is not None and np.isfinite(best["value"])
+    assert init_calls[0] == 2, f"{init_calls[0]} model inits for 2 trials"
+    # per-epoch prune trajectory recorded for both epochs
+    assert set(map(int, study["trials"][0]["intermediate"])) == {1, 2}
     # trial manifests record the SDR validation metric
     m = json.loads((tmp_path / "trial_0" / "xumx_slicq_tpu.json").read_text())
     assert m["args"]["valid_metric"] == "sdr"

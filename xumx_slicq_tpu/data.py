@@ -347,7 +347,9 @@ class SyntheticDataset:
         stems = self._tracks[index // self.samples_per_track]
         if self.seq_duration:
             n = int(self.seq_duration * self.sample_rate)
-            lo = self.rng.randrange(0, stems.shape[-1] - n)
+            # max(..., 1): seq_duration == track_duration leaves no slack,
+            # randrange(0, 0) would raise
+            lo = self.rng.randrange(0, max(stems.shape[-1] - n, 1))
             stems = stems[..., lo: lo + n]
         x = stems.sum(0)
         return np.concatenate([x[None], stems]).astype(np.float32)

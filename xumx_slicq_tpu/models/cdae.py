@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .nn import batch_norm, conv2d, conv_transpose2d, init_bn_params, init_bn_stats, kaiming_uniform_conv
+from .nn import amp_op, batch_norm, conv2d, conv_transpose2d, init_bn_params, init_bn_stats, kaiming_uniform_conv
 
 NB_TARGETS = 4
 
@@ -38,6 +38,9 @@ class SlicedCDAESpec:
     hidden_size_2: int = 51
     time_filter_2: int = 4
     realtime: bool = False
+    # bf16 mixed precision: conv/einsum operands in bf16 with fp32
+    # accumulation (reference trains under bf16 autocast, training.py:69-70)
+    amp: bool = False
 
     @property
     def freq_filter(self) -> int:
@@ -118,6 +121,7 @@ def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> j
 
     h: (B, H, F', K) frame features; w: (H, C, fphi, T) torch CT layout.
     Returns (B, C, F'+fphi-1, S, T)."""
+    amp = spec.amp
     B, H, Fp, K = h.shape
     fphi, T = w.shape[2], w.shape[3]
     hop = T // 2
@@ -126,7 +130,8 @@ def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> j
     F_out = Fp + fphi - 1
     hp = jnp.pad(h, ((0, 0), (0, 0), (fphi - 1, fphi - 1), (0, 0)))
     v = jnp.stack([hp[:, :, fphi - 1 - d: fphi - 1 - d + F_out] for d in range(fphi)], axis=3)
-    seg = jnp.einsum("bhfdk,hcdt->bcfkt", v, w)            # (B,C,F_out,K,T)
+    seg = amp_op(lambda a, b: jnp.einsum("bhfdk,hcdt->bcfkt", a, b),
+                 v, w, amp=amp)                            # (B,C,F_out,K,T)
 
     # time overlap-add at hop T/2: frame 2s covers slice s fully; frame
     # 2s+1 covers slice s [T/2,T) then slice s+1 [0,T/2). Slice s therefore
@@ -142,7 +147,7 @@ def _dec2_ola(h: jnp.ndarray, w: jnp.ndarray, spec: SlicedCDAESpec, S: int) -> j
     return even + jnp.concatenate([odd_prev, odd[..., :hop]], axis=-1)
 
 
-def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int) -> jnp.ndarray:
+def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int, amp: bool = False) -> jnp.ndarray:
     """First conv (kernel (fphi, T), stride (1, T/2)) as frame extraction +
     einsum (offline variant; same rationale as _dec2_ola -- the 50% hop
     means frames are the slices themselves plus a two-slice interleave).
@@ -155,10 +160,11 @@ def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int) -> jnp.ndarray:
     odd = jnp.pad(odd, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
     frames = jnp.stack([x5, odd], axis=4).reshape(B, C, F, 2 * S, T)[:, :, :, : 2 * S - 1]
     if fphi == 1:
-        return jnp.einsum("bcfkt,oct->bofk", frames, w[:, :, 0])
+        return amp_op(lambda a, b: jnp.einsum("bcfkt,oct->bofk", a, b),
+                      frames, w[:, :, 0], amp=amp)
     Fp = F - fphi + 1
     v = jnp.stack([frames[:, :, d: d + Fp] for d in range(fphi)], axis=3)  # (B,C,Fp,fphi,K,T)
-    return jnp.einsum("bcfdkt,ocdt->bofk", v, w)
+    return amp_op(lambda a, b: jnp.einsum("bcfdkt,ocdt->bofk", a, b), v, w, amp=amp)
 
 
 def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
@@ -169,17 +175,17 @@ def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
     if spec.realtime:
         x = x5.reshape(B, C, F, S * T)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (T - 1, 0)))
-        h = conv2d(x, p["enc1_w"], stride=(1, hop))
+        h = conv2d(x, p["enc1_w"], stride=(1, hop), amp=spec.amp)
     else:
-        h = _enc1_frames(x5, p["enc1_w"], spec.freq_filter)
+        h = _enc1_frames(x5, p["enc1_w"], spec.freq_filter, amp=spec.amp)
     h, bn1 = batch_norm(h, p["bn1"], bn["bn1"], train)
     h = jax.nn.relu(h)
 
-    h = conv2d(h, p["enc2_w"])
+    h = conv2d(h, p["enc2_w"], amp=spec.amp)
     h, bn2 = batch_norm(h, p["bn2"], bn["bn2"], train)
     h = jax.nn.relu(h)
 
-    h = conv_transpose2d(h, p["dec1_w"])
+    h = conv_transpose2d(h, p["dec1_w"], amp=spec.amp)
     h, bn3 = batch_norm(h, p["bn3"], bn["bn3"], train)
     h = jax.nn.relu(h)
 

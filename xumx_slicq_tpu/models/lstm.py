@@ -20,6 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .nn import amp_op
+
 NB_TARGETS = 4
 NB_LAYERS = 3
 DROPOUT = 0.4
@@ -31,6 +33,9 @@ class SlicedLSTMSpec:
     nb_f_bins: int
     nb_t_bins: int
     realtime: bool = False
+    # bf16 mixed precision for the large sequence matmuls (input projection
+    # + FC layers); the recurrent scan stays fp32 for state stability
+    amp: bool = False
 
     @property
     def downsample(self) -> bool:
@@ -137,12 +142,12 @@ def _batch_norm1d(x, bn_p, bn_s, train: bool, momentum=0.1, eps=1e-5):
     return y, new_s
 
 
-def _lstm_cell_scan(x_seq, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+def _lstm_cell_scan(x_seq, w_ih, w_hh, b_ih, b_hh, reverse: bool = False, amp: bool = False):
     """Run one LSTM direction over x_seq (seq, batch, in) -> (seq, batch, H)."""
     H = w_hh.shape[-1]
     B = x_seq.shape[1]
     # precompute input projections for the whole sequence (one big matmul)
-    xp = jnp.einsum("sbi,gi->sbg", x_seq, w_ih) + b_ih + b_hh
+    xp = amp_op(lambda a, b: jnp.einsum("sbi,gi->sbg", a, b), x_seq, w_ih, amp=amp) + b_ih + b_hh
 
     def step(carry, xt):
         h, c = carry
@@ -159,15 +164,15 @@ def _lstm_cell_scan(x_seq, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     return hs
 
 
-def _lstm_forward(x_seq, layers, bidirectional: bool, train: bool, rng: Optional[jax.Array]):
+def _lstm_forward(x_seq, layers, bidirectional: bool, train: bool, rng: Optional[jax.Array], amp: bool = False):
     """Multi-layer (bi)LSTM, dropout between layers (torch semantics)."""
     out = x_seq
     for li, p in enumerate(layers):
-        fwd = _lstm_cell_scan(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
+        fwd = _lstm_cell_scan(out, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"], amp=amp)
         if bidirectional:
             bwd = _lstm_cell_scan(
                 out, p["w_ih_reverse"], p["w_hh_reverse"], p["b_ih_reverse"], p["b_hh_reverse"],
-                reverse=True,
+                reverse=True, amp=amp,
             )
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
@@ -196,23 +201,26 @@ def apply_lstm(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
 
     target_params = {k: v for k, v in params.items() if k not in ("input_mean", "input_scale")}
 
+    def mm(a, b):
+        return amp_op(jnp.matmul, a, b, amp=spec.amp)
+
     def per_target(p, bn, trng=None):
         new_bn = dict(bn)
         h = x_rows
         if spec.downsample:
-            h = h @ p["fc1_w"].T
+            h = mm(h, p["fc1_w"].T)
             h, new_bn["bn1"] = _batch_norm1d(h, p["bn1"], bn["bn1"], train)
             h = jnp.tanh(h)
         h_seq = h.reshape(frames, B, h1)
-        lstm_out = _lstm_forward(h_seq, p["lstm"], spec.bidirectional, train, trng)
+        lstm_out = _lstm_forward(h_seq, p["lstm"], spec.bidirectional, train, trng, amp=spec.amp)
         h_cat = jnp.concatenate([h_seq, lstm_out], axis=-1)
         h2 = h_cat.reshape(-1, h_cat.shape[-1])
         if spec.odd_lstm:
             h2 = h2[..., :fc]
-        h2 = h2 @ p["fc2_w"].T
+        h2 = mm(h2, p["fc2_w"].T)
         h2, new_bn["bn2"] = _batch_norm1d(h2, p["bn2"], bn["bn2"], train)
         h2 = jax.nn.relu(h2)
-        h3 = jax.nn.sigmoid(h2 @ p["fc3_w"].T + p["fc3_b"])
+        h3 = jax.nn.sigmoid(mm(h2, p["fc3_w"].T) + p["fc3_b"])
         return h3, new_bn
 
     if train and rng is not None:

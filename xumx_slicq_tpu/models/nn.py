@@ -16,17 +16,34 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
+def amp_op(op, *operands, amp: bool):
+    """bf16 mixed-precision boundary (TPU-native equivalent of the
+    reference's torch.autocast(bf16) scope, training.py:69-70): when amp,
+    OPERANDS are cast to bf16 — the MXU's native input width, which
+    accumulates in fp32 internally — and the result is cast back to fp32
+    for the surrounding BN/elementwise chain. The cast-in/cast-out pair
+    keeps forward AND backward convs/matmuls uniformly bf16 (a mixed
+    bf16-operand/fp32-cotangent conv is ill-typed in XLA). Master weights,
+    BN, Wiener-EM, and losses remain fp32."""
+    if not amp:
+        return op(*operands)
+    return op(*(o.astype(jnp.bfloat16) for o in operands)).astype(jnp.float32)
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int] = (1, 1), amp: bool = False) -> jnp.ndarray:
     """torch.nn.functional.conv2d, padding=0 (valid)."""
-    return lax.conv_general_dilated(
-        x, w,
-        window_strides=stride,
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    def run(x, w):
+        return lax.conv_general_dilated(
+            x, w,
+            window_strides=stride,
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    return amp_op(run, x, w, amp=amp)
 
 
-def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
+def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int] = (1, 1), amp: bool = False) -> jnp.ndarray:
     """torch.nn.functional.conv_transpose2d, padding=0.
 
     w has torch layout (in_ch, out_ch, kh, kw). Implemented as the gradient
@@ -36,13 +53,17 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int] = (
     # to OIHW with flipped spatial dims: (out, in, kh, kw)
     w_t = jnp.flip(jnp.swapaxes(w, 0, 1), axis=(-2, -1))
     kh, kw = w.shape[-2], w.shape[-1]
-    return lax.conv_general_dilated(
-        x, w_t,
-        window_strides=(1, 1),
-        padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
-        lhs_dilation=stride,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+
+    def run(x, w_t):
+        return lax.conv_general_dilated(
+            x, w_t,
+            window_strides=(1, 1),
+            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+            lhs_dilation=stride,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    return amp_op(run, x, w_t, amp=amp)
 
 
 def batch_norm(

@@ -40,23 +40,29 @@ class Unmix:
         hidden_size_1: int = 50,
         hidden_size_2: int = 51,
         time_filter_2: int = 4,
+        amp: bool = False,
     ):
+        """amp: bf16 mixed precision — conv/matmul operands in bf16 with
+        fp32 accumulation (MXU-native), the TPU equivalent of the
+        reference's bf16 autocast training scope (training.py:69-70).
+        Master weights, BN, Wiener-EM, and losses stay fp32."""
         self.realtime = realtime
         self.lstm = lstm
+        self.amp = amp
         self.wiener_iterations = wiener_iterations
         self.specs: List = []
         for shape in block_shapes:
             _, C, F, S, T = shape
             if lstm:
                 self.specs.append(
-                    SlicedLSTMSpec(nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime)
+                    SlicedLSTMSpec(nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime, amp=amp)
                 )
             else:
                 self.specs.append(
                     SlicedCDAESpec(
                         nb_channels=C, nb_f_bins=F, nb_t_bins=T, realtime=realtime,
                         hidden_size_1=hidden_size_1, hidden_size_2=hidden_size_2,
-                        time_filter_2=time_filter_2,
+                        time_filter_2=time_filter_2, amp=amp,
                     )
                 )
         self._input_means = input_means

@@ -68,25 +68,59 @@ def batch_pspec(axis: str = "dp") -> P:
 
 NB_TARGETS = 4  # bass/vocals/other/drums — the stacked leading weight axis
 
+# Every parameter/BN-state name whose leaf is stacked (4, ...) over the
+# separation targets (models/cdae.py init_cdae_params, models/lstm.py
+# init_lstm_params). AdamW moment trees mirror the param tree, so the same
+# names identify their moments. Names NOT here (input_mean/input_scale,
+# optimizer scalars) are replicated regardless of shape — a future
+# non-target tensor whose leading dim happens to be 4 cannot be sharded
+# by accident (ADVICE r2).
+_TARGET_STACKED_NAMES = frozenset({
+    # CDAE
+    "enc1_w", "enc2_w", "dec1_w", "dec2_w", "dec2_b",
+    # BN params/stats (always nested under bn1/bn2/bn3)
+    "scale", "bias", "mean", "var",
+    # LSTM
+    "fc1_w", "fc2_w", "fc3_w", "fc3_b",
+    "w_ih", "w_hh", "b_ih", "b_hh",
+    "w_ih_reverse", "w_hh_reverse", "b_ih_reverse", "b_hh_reverse",
+})
+
+
+def _leaf_name(path) -> str:
+    """Last dict key on a pytree path (skips list indices/attr wrappers)."""
+    for entry in reversed(path):
+        if isinstance(entry, jax.tree_util.DictKey):
+            return str(entry.key)
+        if isinstance(entry, jax.tree_util.GetAttrKey):
+            return str(entry.name)
+    return ""
+
 
 def target_shardings(tree, mesh: Mesh, n_targets: int = NB_TARGETS):
     """Sharding pytree for model/optimizer state on a tp mesh.
 
-    Every target-stacked leaf (ndim >= 2 with leading axis == n_targets:
-    all CDAE/LSTM weights and BN tensors, and their AdamW moments) shards
-    its leading axis over "tp"; everything else (per-bucket whitening
-    vectors, scalars, step counts) is replicated. On a mesh without a
-    "tp" axis this degenerates to full replication."""
+    A leaf shards its leading axis over "tp" iff it is a known
+    target-stacked parameter/BN name (_TARGET_STACKED_NAMES — matched by
+    pytree path, so AdamW moments qualify through their mirrored param
+    names) AND carries the (n_targets, ...) stacked shape. Everything else
+    (per-bucket whitening vectors, scalars, step counts) is replicated.
+    On a mesh without a "tp" axis this degenerates to full replication."""
     has_tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
     repl = NamedSharding(mesh, P())
     tp = NamedSharding(mesh, P("tp")) if has_tp else repl
 
-    def spec(x):
-        if has_tp and getattr(x, "ndim", 0) >= 2 and x.shape[0] == n_targets:
+    def spec(path, x):
+        if (
+            has_tp
+            and _leaf_name(path) in _TARGET_STACKED_NAMES
+            and getattr(x, "ndim", 0) >= 2
+            and x.shape[0] == n_targets
+        ):
             return tp
         return repl
 
-    return jax.tree.map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def shard_targets(tree, mesh: Mesh, n_targets: int = NB_TARGETS):

@@ -154,40 +154,61 @@ class Separator:
 
     _CHUNK_BATCH_BUCKETS = (1, 2, 4, 8)
 
+    def _forward_mesh_single(self, audio: np.ndarray, chunk: int, nchunks: int) -> np.ndarray:
+        """One track over the mesh: the chunk axis is sharded across
+        devices; weights are replicated so the jitted pipeline partitions
+        with no cross-chip collectives. Tracks longer than the largest
+        chunk bucket run in multiple full-mesh WAVES (cap = largest bucket
+        x n_dev chunks per device call) instead of falling back to a
+        single-device loop — the multi-chip analogue of the reference's
+        sequential chunk loop (separator.py:147-158)."""
+        _, C, N = audio.shape
+        n_dev = self.mesh.devices.size
+        cap = self._CHUNK_BATCH_BUCKETS[-1] * n_dev
+        fn = self._chunk_fn(chunk)
+        parts = []
+        ci = 0
+        while ci < nchunks:
+            take = min(nchunks - ci, cap)
+            bucket = next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= take)
+            nb = n_dev * bucket
+            flat = np.zeros((nb, C, chunk), audio.dtype)
+            for k in range(take):
+                lo = (ci + k) * chunk
+                hi = min(lo + chunk, N)
+                flat[k, :, : hi - lo] = audio[0, :, lo:hi]
+            a = jax.device_put(flat, self._data_sharding)
+            est = np.asarray(fn(self.params, self.batch_stats, a))  # (4, nb, C, chunk)
+            parts.append(est[:, :take])
+            ci += take
+        est = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        est = est.transpose(0, 2, 1, 3)                             # (4, C, nchunks, chunk)
+        return est.reshape(4, 1, C, nchunks * chunk)[..., :N]
+
     def forward(self, audio_big: np.ndarray) -> np.ndarray:
         """audio_big: (B, C, N) -> stacked estimates (4, B, C, N).
 
         For a single track (B == 1) all chunks are folded into the batch
         axis and processed in ONE device call (chunk counts padded to a
         small bucket set to bound recompiles); otherwise chunks are
-        dispatched asynchronously so transfers overlap execution."""
+        dispatched asynchronously so transfers overlap execution. With a
+        mesh, chunks shard across devices in full-mesh waves; batched
+        inputs fan each item over the mesh in turn (same compiled
+        executables)."""
         B, C, N = audio_big.shape
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
 
-        bucket = None
-        if self.mesh is not None and B == 1:
-            n_dev = self.mesh.devices.size
-            bucket = next(
-                (b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= nchunks), None
+        if self.mesh is not None:
+            if B == 1:
+                return self._forward_mesh_single(audio_big, chunk, nchunks)
+            return np.concatenate(
+                [
+                    self._forward_mesh_single(audio_big[b: b + 1], chunk, nchunks)
+                    for b in range(B)
+                ],
+                axis=1,
             )
-        if bucket is not None:
-            # multi-chip: pad the chunk count to a bucketed multiple of the
-            # mesh size and shard the chunk axis; weights are replicated so
-            # the jitted pipeline partitions with no cross-chip collectives.
-            # (Tracks beyond the largest bucket fall through to the
-            # sequential chunk loop below.)
-            nb = n_dev * bucket
-            flat = np.zeros((nb, C, chunk), audio_big.dtype)
-            for ci in range(nchunks):
-                lo = ci * chunk
-                hi = min(lo + chunk, N)
-                flat[ci, :, : hi - lo] = audio_big[0, :, lo:hi]
-            a = jax.device_put(flat, self._data_sharding)
-            fn = self._chunk_fn(chunk)
-            est = np.asarray(fn(self.params, self.batch_stats, a))
-            est = est[:, :nchunks].transpose(0, 2, 1, 3)
-            return est.reshape(4, 1, C, nchunks * chunk)[..., :N]
 
         if B == 1 and nchunks > 1 and nchunks <= self._CHUNK_BATCH_BUCKETS[-1]:
             nb = next(b for b in self._CHUNK_BATCH_BUCKETS if b >= nchunks)

@@ -82,19 +82,28 @@ def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
     if args.max_batches_per_epoch > 0:
         argv += ["--max-batches-per-epoch", str(args.max_batches_per_epoch)]
 
-    # run epoch by epoch via resume so the pruner can interrupt
+    # ONE training_main call per trial: the per-epoch pruning decision runs
+    # through the epoch callback, so the trial traces/compiles its step and
+    # builds its model exactly once (the reference's optuna loop holds one
+    # model and reports per epoch, optuna.py:130-183). Crash recovery keeps
+    # working via the trial dir's checkpoint-resume.
     intermediate = {}
-    for epoch in range(1, args.trial_epochs + 1):
-        ep_argv = list(argv)
-        ep_argv[ep_argv.index("--epochs") + 1] = str(epoch)
-        _, valid_losses = training_main(ep_argv)
-        v = float(valid_losses[-1])
-        intermediate[epoch] = v
-        if pruner.should_prune(epoch, v):
-            pruner.report_trial(intermediate)
-            return v, True, intermediate
+    pruned = [False]
+
+    def on_epoch(epoch, train_loss, valid_loss):
+        intermediate[epoch] = float(valid_loss)
+        if pruner.should_prune(epoch, float(valid_loss)):
+            pruned[0] = True
+            return True
+        return False
+
+    _, valid_losses = training_main(argv, epoch_callback=on_epoch)
+    # a checkpoint-resumed trial only fires the callback for new epochs;
+    # backfill the earlier history so the pruner sees the whole trajectory
+    for e, v in enumerate(valid_losses, start=1):
+        intermediate.setdefault(e, float(v))
     pruner.report_trial(intermediate)
-    return float(valid_losses[-1]), False, intermediate
+    return float(valid_losses[-1]), pruned[0], intermediate
 
 
 def tuning_main(argv=None):
