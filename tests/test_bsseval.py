@@ -54,6 +54,27 @@ def test_in_span_filtering_high_sar():
     assert np.all(np.median(sc["ISR"], 1) < 5)
 
 
+def test_blocked_matches_full_fft():
+    """The fused blocked (overlap-save) engine used for long tracks must be
+    EXACT vs the one-big-FFT path — same filters, same projections — on a
+    signal with several blocks including a partial last one."""
+    from xumx_slicq_tpu.ops import bsseval as B
+
+    refs = _refs(seed=9, nsrc=2, n=3 * 22050 + 123)
+    rng = np.random.default_rng(10)
+    ests = refs + 0.1 * rng.standard_normal(refs.shape)
+    assert refs.shape[1] > B._BLK_NFFT  # exercises the blocked plan
+    blocked = bss_eval_images(refs, ests, window=22050, hop=22050)
+    old = B._BLK_NFFT
+    B._BLK_NFFT = 1 << 30  # force the full-FFT path
+    try:
+        full = bss_eval_images(refs, ests, window=22050, hop=22050)
+    finally:
+        B._BLK_NFFT = old
+    for m in blocked:
+        np.testing.assert_allclose(blocked[m], full[m], atol=1e-6)
+
+
 def test_jax_path_matches_numpy():
     refs = _refs(seed=4, nsrc=2, n=22050)
     rng = np.random.default_rng(5)

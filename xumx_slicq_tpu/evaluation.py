@@ -185,6 +185,9 @@ def merge_results(shard_files) -> EvalStore:
 
 
 def evaluation_main(argv=None):
+    from .utils import enable_host_malloc_reuse
+
+    enable_host_malloc_reuse()  # host BSS-eval is page-fault-bound otherwise
     parser = argparse.ArgumentParser(description="MUSDB18 Evaluation (BSS-eval v4)")
     parser.add_argument("--track", type=str, default=None)
     parser.add_argument("--realtime", action="store_true", default=False)

@@ -27,6 +27,9 @@ def separate(audio: np.ndarray, separator: Separator, rate: float = None):
 
 
 def inference_main(argv=None):
+    from .utils import enable_host_malloc_reuse
+
+    enable_host_malloc_reuse()
     parser = argparse.ArgumentParser(description="xumx-sliCQ-TPU Inference")
     parser.add_argument("--input-dir", type=str, default="/input")
     parser.add_argument("--output-dir", type=str, default="/output")

@@ -34,6 +34,136 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+# Blocked (overlap-save) path: the whole-track filters only need lags
+# |tau| < flen, so instead of one 2^ceil(log2(N))-point FFT per signal
+# (2^24 for a full MUSDB track: the reference's museval spends CPU-hours
+# here, README.md:235) the correlations/convolutions accumulate over
+# short blocks with batched _BLK_NFFT-point FFTs. Exact — not an
+# approximation: every product pair lands in an unaliased region.
+_BLK_NFFT = 8192
+
+
+def _rfft(x, n, use_jax, axis=-1):
+    if use_jax:
+        import jax.numpy as jnp
+
+        return jnp.fft.rfft(x, n, axis=axis)
+    import scipy.fft as sfft  # ~5x np.fft on this host
+
+    return sfft.rfft(x, n, axis=axis)
+
+
+def _irfft(x, n, use_jax):
+    if use_jax:
+        import jax.numpy as jnp
+
+        return np.asarray(jnp.fft.irfft(x, n))
+    import scipy.fft as sfft
+
+    return sfft.irfft(x, n)
+
+
+class _BlockedBss:
+    """Fused blocked-FFT engine for one track's whole-track filters.
+
+    The three forward FFT banks — reference a-blocks, reference b-blocks,
+    estimate b-blocks — are computed ONCE and shared by the Gram /
+    cross-correlation stage and all filter applications (P_all plus the
+    per-source projections), which as standalone calls would each redo
+    them. a-blocks (K, nb, Lb) tile the signal; b-block i is the
+    nfft-long sliding window starting at sample i*Lb (a-block i plus the
+    head of block i+1, a zero-cost strided view of one padded copy), so
+    sum_i <a_i, b_i[.+lam]> is exactly the full-signal correlation at
+    lags 0..flen-1: a-blocks are zero-padded Lb -> nfft by the FFT, so
+    no product wraps for lam < flen."""
+
+    def __init__(self, R: np.ndarray, E: np.ndarray, flen: int, use_jax: bool):
+        K, N = R.shape
+        self.flen, self.use_jax, self.N = flen, use_jax, N
+        self.nfft = nfft = _BLK_NFFT
+        self.Lb = Lb = nfft - flen
+        self.nb = -(-N // Lb)
+        a_R = self._pad(R)[:, : self.nb * Lb].reshape(K, self.nb, Lb)
+        self.FA = _rfft(a_R, nfft, use_jax)              # (K, nb, F)
+        self.FBr = _rfft(self._bview(self._pad(R)), nfft, use_jax)
+        self.FBe = _rfft(self._bview(self._pad(E)), nfft, use_jax)
+
+    def _pad(self, x):
+        out = np.zeros((x.shape[0], self.nb * self.Lb + self.flen), np.float64)
+        out[:, : x.shape[1]] = x
+        if self.use_jax:
+            import jax.numpy as jnp
+
+            return jnp.asarray(out)
+        return out
+
+    def _bview(self, p):
+        if self.use_jax:
+            idx = np.arange(self.nb)[:, None] * self.Lb + np.arange(self.nfft)
+            return p[:, idx]
+        s0, s1 = p.strides
+        return np.lib.stride_tricks.as_strided(
+            p, (p.shape[0], self.nb, self.nfft), (s0, self.Lb * s1, s1),
+            writeable=False,
+        )
+
+    def _einsum(self, spec, a, b):
+        if self.use_jax:
+            import jax.numpy as jnp
+
+            return jnp.einsum(spec, a, b)
+        return np.einsum(spec, a, b, optimize=True)
+
+    def _conj(self, x):
+        if self.use_jax:
+            import jax.numpy as jnp
+
+            return jnp.conj(x)
+        return np.conj(x)
+
+    def correlations(self):
+        """(G, D) with the same contract as `_correlations`."""
+        K, flen, nfft = self.FA.shape[0], self.flen, self.nfft
+        CA = self._conj(self.FA)
+        Srr = self._einsum("knf,lnf->klf", CA, self.FBr)
+        Sre = self._einsum("knf,lnf->klf", CA, self.FBe)
+        # positive lags 0..flen-1: r_rr[k,l,lam] = sum_n R[k,n] R[l,n+lam]
+        r_rr = np.asarray(_irfft(Srr, nfft, self.use_jax))[..., :flen]
+        r_re = np.asarray(_irfft(Sre, nfft, self.use_jax))[..., :flen]
+        # full lag axis -(flen-1)..flen-1 via r[k,l,-lam] = r[l,k,lam]
+        full = np.concatenate(
+            [r_rr.transpose(1, 0, 2)[..., 1:][..., ::-1], r_rr], axis=-1
+        )                                                # (K, K, 2*flen-1)
+        lags = np.arange(flen)
+        lag_mat = lags[:, None] - lags[None, :] + (flen - 1)
+        G = full[:, :, lag_mat]                          # (K, K, flen, flen)
+        G = G.transpose(0, 2, 1, 3).reshape(K * flen, K * flen)
+        D = r_re.transpose(0, 2, 1).reshape(K * flen, -1)
+        return G, D
+
+    def apply(self, coeffs: np.ndarray, rows=slice(None)):
+        """Filter-and-sum over the `rows`-selected reference channels,
+        reusing their cached a-block FFTs: coeffs (k*flen, E) -> (E, N)."""
+        FA = self.FA[rows]
+        k = FA.shape[0]
+        E = coeffs.shape[1]
+        flen, nfft, Lb, nb = self.flen, self.nfft, self.Lb, self.nb
+        c = coeffs.reshape(k, flen, E)
+        if self.use_jax:
+            import jax.numpy as jnp
+
+            c = jnp.asarray(c)
+        FC = _rfft(c, nfft, self.use_jax, axis=1)        # (k, F, E)
+        Y = self._einsum("knf,kfe->enf", FA, FC)
+        y = np.asarray(_irfft(Y, nfft, self.use_jax))    # (E, nb, nfft)
+        # overlap-add: block i's tail [Lb, Lb+flen-1) lands at (i+1)*Lb;
+        # the last block's tail falls past nb*Lb >= N and is dropped.
+        out = y[..., :Lb].reshape(E, nb * Lb)            # fresh array (copy)
+        out[:, Lb:].reshape(E, nb - 1, Lb)[..., : flen - 1] += \
+            y[:, :-1, Lb: Lb + flen - 1]
+        return out[:, : self.N]
+
+
 def _correlations(refs: np.ndarray, ests: np.ndarray, flen: int, use_jax: bool):
     """FFT cross-correlations.
 
@@ -44,6 +174,8 @@ def _correlations(refs: np.ndarray, ests: np.ndarray, flen: int, use_jax: bool):
       D[(k,tau), e]        = sum_n refs[k, n-tau] ests[e, n]
     """
     K, N = refs.shape
+    if N > _BLK_NFFT and flen <= _BLK_NFFT // 4:
+        return _BlockedBss(refs, ests, flen, use_jax).correlations()
     n2 = _next_pow2(N + flen - 1)
     if use_jax:
         import jax.numpy as jnp
@@ -124,11 +256,21 @@ def bss_eval_images(
     R = refs.transpose(0, 2, 1).reshape(nsrc * nchan, N)     # (K, N)
     E = ests.transpose(0, 2, 1).reshape(nsrc * nchan, N)
 
-    G, D = _correlations(R, E, flen, use_jax)
+    plan = None
+    if N > _BLK_NFFT and flen <= _BLK_NFFT // 4:
+        plan = _BlockedBss(R, E, flen, use_jax)
+        G, D = plan.correlations()
+    else:
+        G, D = _correlations(R, E, flen, use_jax)
+
+    def apply(coeffs, rows=slice(None)):
+        if plan is not None:
+            return plan.apply(coeffs, rows)
+        return _apply_filters(R[rows], coeffs, flen, N, use_jax)
 
     # projection onto ALL references, for every estimate channel
     C_all = _solve(G, D, use_jax)                            # (K*flen, nsrc*nchan)
-    P_all = _apply_filters(R, C_all, flen, N, use_jax)       # (nsrc*nchan, N)
+    P_all = apply(C_all)                                     # (nsrc*nchan, N)
 
     # projection of estimate j onto reference j only
     P_self = np.zeros_like(E)
@@ -138,22 +280,25 @@ def bss_eval_images(
         Gj = G[rows, rows]
         Dj = D[rows, cols]
         Cj = _solve(Gj, Dj, use_jax)                          # (nchan*flen, nchan)
-        P_self[cols] = _apply_filters(R[cols], Cj, flen, N, use_jax)
+        P_self[cols] = apply(Cj, cols)
 
-    # decompositions per source (nsrc, nchan, N)
+    # decompositions per source (nsrc, nchan, N); the error components
+    # telescope, so each energy operand is a single difference (or a
+    # projection directly): dist = e - s_true, ts = s_true + e_spat =
+    # p_self, tsi = s_true + e_spat + e_interf = p_all.
     s_true = refs.transpose(0, 2, 1)
     p_self = P_self.reshape(nsrc, nchan, N)
     p_all = P_all.reshape(nsrc, nchan, N)
     e_est = E.reshape(nsrc, nchan, N)
-    e_spat = p_self - s_true
-    e_interf = p_all - p_self
-    e_artif = e_est - p_all
 
     # framewise energy ratios
     nwin = max((N - window) // hop + 1, 1)
 
     def frame_energy(x):
         # (nsrc, nchan, N) -> (nsrc, nwin) summed over chan+win
+        if hop == window and nwin * window <= N:
+            xw = x[..., : nwin * window].reshape(nsrc, nchan, nwin, window)
+            return np.einsum("scwt,scwt->sw", xw, xw)
         out = np.empty((nsrc, nwin))
         for w in range(nwin):
             seg = x[..., w * hop: w * hop + window]
@@ -162,12 +307,12 @@ def bss_eval_images(
 
     eps = np.finfo(np.float64).eps
     Es_true = frame_energy(s_true)
-    Es_spat = frame_energy(e_spat)
-    Es_interf = frame_energy(e_interf)
-    Es_artif = frame_energy(e_artif)
-    Es_dist = frame_energy(e_spat + e_interf + e_artif)
-    Es_ts = frame_energy(s_true + e_spat)
-    Es_tsi = frame_energy(s_true + e_spat + e_interf)
+    Es_spat = frame_energy(p_self - s_true)
+    Es_interf = frame_energy(p_all - p_self)
+    Es_artif = frame_energy(e_est - p_all)
+    Es_dist = frame_energy(e_est - s_true)
+    Es_ts = frame_energy(p_self)
+    Es_tsi = frame_energy(p_all)
 
     def db(num, den):
         return 10.0 * np.log10((num + eps) / (den + eps))

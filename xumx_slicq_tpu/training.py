@@ -368,6 +368,9 @@ def training_main(argv=None, epoch_callback=None):
     compiled step/model across its epochs instead of re-invoking
     training_main per epoch, VERDICT r2 weak 2). Crash recovery still
     works through the normal checkpoint-resume path."""
+    from .utils import enable_host_malloc_reuse
+
+    enable_host_malloc_reuse()  # data loading/whitening are numpy-heavy
     args = build_argparser().parse_args(argv)
     t0_all = time.time()
 

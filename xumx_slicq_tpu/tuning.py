@@ -107,6 +107,9 @@ def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
 
 
 def tuning_main(argv=None):
+    from .utils import enable_host_malloc_reuse
+
+    enable_host_malloc_reuse()
     p = argparse.ArgumentParser(description="xumx-sliCQ-TPU hyperparameter search")
     p.add_argument("--study-dir", type=str, default="/tuning-study")
     p.add_argument("--n-trials", type=int, default=100)

@@ -35,6 +35,38 @@ def enable_compilation_cache(cache_dir: str = None):
         pass  # older jax without the knobs; run uncached
 
 
+_MALLOC_REUSE = False
+
+
+def enable_host_malloc_reuse():
+    """Keep freed large blocks in the glibc heap instead of returning them
+    to the kernel (idempotent; no-op where glibc is absent).
+
+    numpy routes array data through malloc; with the default
+    M_MMAP_THRESHOLD (128 KB) every multi-MB temporary is a fresh
+    mmap/munmap pair, so each allocation re-faults all its pages. On hosts
+    with slow first-touch faults (measured here: ~0.01-0.1 GB/s on this
+    box's network-attached memory, vs 3.7-7.3 GB/s streaming over touched
+    pages) that dominates any numpy-heavy path — host BSS-eval spent >70%
+    of its wall-clock in page faults. Raising the mmap/trim thresholds
+    makes the heap an arena: pages fault once per process, then recycle.
+    Costs RSS (the high-water working set stays resident); call it from
+    CLI entry points, not at library import."""
+    global _MALLOC_REUSE
+    if _MALLOC_REUSE:
+        return
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        _MALLOC_REUSE = True
+    except Exception:
+        pass
+
+
 def device_platform() -> str:
     import jax
 
