@@ -244,7 +244,8 @@ def bench_train_step(profile_dir=None, batch=64, bf16=False):
     print(f"# {_mfu_note('train_step', flops, value)}", file=sys.stderr)
 
 
-def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False):
+def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False,
+                          device_resident=False):
     """Evaluation-at-scale throughput: the full pipelined evaluation path
     (device separation overlapped with BSS-eval v4 scoring) on full-length
     synthetic tracks, measuring where a 50-track MUSDB run's wall-clock
@@ -318,6 +319,39 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False):
             times["bss"].append(time.time() - t0)
         return ts
 
+    if device_resident:
+        # whole-track-on-device path: int16 staging (half the tunnel bytes),
+        # estimates never fetched, BSS-eval as one jitted program
+        from xumx_slicq_tpu.ops.bsseval import DeviceBssEval, eval_track_device
+
+        engine = DeviceBssEval()
+        tracks = [(t * 32768.0).clip(-32768, 32767).astype(np.int16) for t in tracks]
+
+        def sep_fn(s, stems_i16):  # noqa: F811
+            t0 = time.time()
+            st = jax.device_put(stems_i16, dev)       # (4, 2, n) int16
+            stf = st.astype(jnp.float32) * (1.0 / 32768.0)
+            np.asarray(checksum(stf[:, :, :8]))       # staging landed
+            t_h2d = time.time() - t0
+            t0 = time.time()
+            est = s.forward_device(stf.sum(0)[None])  # (4, 1, 2, n), on device
+            np.asarray(checksum(est))
+            t_exec = time.time() - t0
+            with lk:
+                times["exec"].append(t_exec)
+                times["d2h"].append(t_h2d)            # staging IS the only transfer
+            refs = {t: jnp.swapaxes(stf[k], 0, 1) for k, t in enumerate(Separator.sources)}
+            ests = {t: jnp.swapaxes(est[k, 0], 0, 1) for k, t in enumerate(Separator.sources)}
+            return refs, ests
+
+        def score_fn(payload, name):  # noqa: F811
+            refs, ests = payload
+            t0 = time.time()
+            ts = eval_track_device(refs, ests, engine, track_name=str(name))
+            with lk:
+                times["bss"].append(time.time() - t0)
+            return ts
+
     # serial split on track 0 (not pipelined: phases attribute cleanly)
     t0 = time.time()
     score_fn(sep_fn(sep, tracks[0]), "serial0")
@@ -335,7 +369,7 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False):
     value = wall / n_tracks
 
     baseline = 2.5 * 3600 / 50  # 180 s/track: reference 2-3 h / 50 tracks
-    mode = "device" if bss_on_device else "host"
+    mode = "devres" if device_resident else ("device" if bss_on_device else "host")
     print(json.dumps({
         "metric": f"eval_track_time_{mode}_bss_s",
         "value": round(value, 2),
@@ -345,10 +379,11 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False):
     med = lambda k: float(np.median(times[k])) if times[k] else float("nan")
     tunnel = med("d2h")
     ex_tunnel = max(value - tunnel, med("bss") if mode == "host" else med("exec"))
+    xfer_label = "h2d_refs(int16)" if device_resident else "d2h_stems"
     print(
         f"# device={dev} compile={compile_s:.1f}s tracks={n_tracks}x{track_seconds:.0f}s "
         f"bss={mode} | per-track split (median): separation_exec={med('exec'):.1f}s "
-        f"d2h_stems={tunnel:.1f}s (dev tunnel ~20MB/s) bss_eval={med('bss'):.1f}s "
+        f"{xfer_label}={tunnel:.1f}s (dev tunnel ~20MB/s) bss_eval={med('bss'):.1f}s "
         f"serial0={serial_s:.1f}s | pipelined wall={wall:.1f}s -> {value:.1f} s/track "
         f"({3600 / value:.1f} tracks/h; 50-track extrapolation "
         f"{50 * value / 3600:.2f} h vs reference 2-3 h) | colocated-IO estimate "
@@ -384,6 +419,9 @@ def main():
     p.add_argument("--bss-on-device", action="store_true",
                    help="run the BSS-eval FFTs/solves via JAX on the chip "
                         "(--eval-throughput)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="eval-throughput: whole track stays on device (int16 "
+                        "ref staging, estimates never fetched, jitted BSS-eval)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
@@ -391,7 +429,8 @@ def main():
         bench_train_step(profile_dir=args.profile, batch=args.batch, bf16=args.bf16)
     elif args.eval_throughput:
         bench_eval_throughput(n_tracks=args.eval_tracks,
-                              bss_on_device=args.bss_on_device)
+                              bss_on_device=args.bss_on_device,
+                              device_resident=args.device_resident)
     else:
         bench_inference(profile_dir=args.profile, realtime=args.realtime)
 

@@ -85,6 +85,62 @@ def test_jax_path_matches_numpy():
         np.testing.assert_allclose(a[m], b[m], atol=0.1)
 
 
+def test_device_engine_matches_host():
+    """The fully device-resident jitted engine (DeviceBssEval) must match
+    the float64 host engine on a separation-like case — across the
+    nb_round zero-pad bucketing and the blocked overlap-save math."""
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval
+
+    refs = _refs(seed=11, nsrc=2, n=3 * 22050 + 123)
+    rng = np.random.default_rng(12)
+    ests = refs + 0.1 * rng.standard_normal(refs.shape)
+    host = bss_eval_images(refs, ests, window=22050, hop=22050)
+    eng = DeviceBssEval(window=22050, hop=22050, nb_round=4)
+    dev = eng(refs.astype(np.float32), ests.astype(np.float32))
+    for m in host:
+        assert host[m].shape == dev[m].shape
+        np.testing.assert_allclose(dev[m], host[m], atol=0.1)
+    # shape-bucket cache: a second, longer track that rounds to a new
+    # bucket must not poison the first one's executable
+    refs2 = _refs(seed=13, nsrc=2, n=5 * 22050)
+    ests2 = refs2 + 0.1 * rng.standard_normal(refs2.shape)
+    host2 = bss_eval_images(refs2, ests2, window=22050, hop=22050)
+    dev2 = eng(refs2.astype(np.float32), ests2.astype(np.float32))
+    for m in host2:
+        np.testing.assert_allclose(dev2[m], host2[m], atol=0.1)
+
+
+def test_device_engine_int16_staging():
+    """int16 references (the lossless MUSDB18-HQ staging format) must score
+    identically to pre-scaled float32 ones."""
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval
+
+    rng = np.random.default_rng(14)
+    refs_i = (rng.standard_normal((2, 22050 + 7, 2)) * 3000).astype(np.int16)
+    refs_f = refs_i.astype(np.float32) / 32768.0
+    ests = refs_f + 0.05 * rng.standard_normal(refs_f.shape).astype(np.float32)
+    eng = DeviceBssEval(window=11025, hop=11025, filters_len=128, nb_round=1)
+    a = eng(refs_i, ests)
+    b = eng(refs_f, ests)
+    for m in a:
+        np.testing.assert_allclose(a[m], b[m], atol=1e-4)
+
+
+def test_eval_track_device_fallback_and_scores():
+    """eval_track_device returns museval-shaped TrackScores; a perfect
+    estimate scores ~inf-high SDR through the device engine too."""
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval, eval_track_device
+
+    refs = _refs(seed=15, nsrc=4, n=2 * 22050)
+    rd = {f"t{i}": refs[i].astype(np.float32) for i in range(4)}
+    eng = DeviceBssEval(window=22050, hop=22050, filters_len=128, nb_round=1)
+    ts = eval_track_device(rd, {k: v.copy() for k, v in rd.items()}, eng, "x")
+    med = ts.median_scores()
+    assert set(med.keys()) == set(rd.keys())
+    for t in med:
+        assert med[t]["SDR"] > 40  # f32 engine: high but not float64-high
+
+
 def test_eval_store_aggregation():
     refs = _refs(seed=6, n=2 * 22050)
     rng = np.random.default_rng(7)

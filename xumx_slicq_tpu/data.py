@@ -88,6 +88,21 @@ def load_audio(path: str, start: float = 0.0, dur: Optional[float] = None):
     return data.T.copy(), sr
 
 
+def load_audio_raw(path: str):
+    """Load a wav file WITHOUT float conversion -> ((channels, samples)
+    in the file's own dtype, samplerate).
+
+    For PCM_16 sources (MUSDB18-HQ stems) this is the lossless
+    half-the-bytes staging format for device-resident evaluation: the
+    int16 array ships over the host->device link as-is and the 1/32768
+    scaling happens on-chip (ops/bsseval.py::DeviceBssEval)."""
+    sr, data = wavfile.read(str(path), mmap=True)
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    return data.T.copy(), sr
+
+
 def save_audio(path: str, audio: np.ndarray, sample_rate: int):
     """Write (channels, samples) float32 -> 32-bit float PCM wav (the
     reference writes PCM_F wavs, inference.py:129-138)."""

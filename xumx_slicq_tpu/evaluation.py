@@ -24,8 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
-from .data import load_audio, preprocess_audio
-from .ops.bsseval import EvalStore, TrackScores, eval_track
+from .data import load_audio, load_audio_raw, preprocess_audio
+from .ops.bsseval import DeviceBssEval, EvalStore, TrackScores, eval_track, eval_track_device
 from .separator import Separator
 
 STEMS = ["mixture", "bass", "vocals", "other", "drums"]
@@ -56,6 +56,46 @@ def separate_track(separator: Separator, track_dir: Path):
 
 def score_track(refs, est_np, track_dir: Path, use_jax: bool = False) -> TrackScores:
     return eval_track(refs, est_np, track_name=track_dir.name, use_jax=use_jax)
+
+
+def separate_track_device(separator: Separator, track_dir: Path):
+    """Device-resident load + demix: estimates never leave the chip and
+    references stage in the wav's own dtype (int16 for MUSDB18-HQ = half
+    the host->device bytes; scaling happens on-device).
+
+    The host-default pipeline fetches ~420 MB/track of float32 stems over
+    the host<->device link and burns ~84 s/track of 1-core host time in
+    BSS-eval while the chip idles (PERFORMANCE.md round-3 measurement);
+    this path keeps the whole track on the device end-to-end. Falls back
+    to the host float path when resampling is needed."""
+    import jax
+    import jax.numpy as jnp
+
+    mix_raw, sr = load_audio_raw(track_dir / "mixture.wav")
+    if sr != separator.sample_rate:
+        return separate_track(separator, track_dir)  # host resample path
+
+    def stage(x):
+        if separator.device is not None:
+            return jax.device_put(x, separator.device)
+        return jnp.asarray(x)
+
+    mix = stage(mix_raw)
+    if mix.dtype == jnp.int16:
+        mix = mix.astype(jnp.float32) * (1.0 / 32768.0)
+    mix = mix.astype(jnp.float32)
+    if mix.shape[0] == 1:
+        mix = jnp.repeat(mix, 2, axis=0)
+    mix = mix[None, :2]                                   # (1, C, N)
+
+    est = separator.forward_device(mix)                   # (4, 1, C, N)
+    ests = {t: jnp.swapaxes(est[i, 0], 0, 1) for i, t in enumerate(separator.sources)}
+
+    refs = {}
+    for t in separator.sources:
+        a, _ = load_audio_raw(track_dir / f"{t}.wav")
+        refs[t] = stage(a.T)                              # (N, C) wav dtype
+    return refs, ests
 
 
 def separate_and_evaluate(separator: Separator, track_dir: Path, use_jax: bool = False) -> TrackScores:
@@ -207,7 +247,13 @@ def evaluation_main(argv=None):
     parser.add_argument("--output-json", type=str, default=None,
                         help="write per-track scores JSON (shard merging)")
     parser.add_argument("--bss-on-device", action="store_true", default=False,
-                        help="run the BSS-eval FFTs/solves via JAX")
+                        help="run the BSS-eval FFTs/solves via JAX (per-stage; "
+                             "host orchestration)")
+    parser.add_argument("--device-resident", action="store_true", default=False,
+                        help="keep the whole track on-device: int16 reference "
+                             "staging, estimates never fetched, BSS-eval as one "
+                             "jitted program (DeviceBssEval); ~f32 accuracy "
+                             "(~0.01 dB vs the float64 host engine)")
     args = parser.parse_args(argv)
 
     tracks = list_tracks(args.musdb_root, args.subset)
@@ -242,10 +288,20 @@ def evaluation_main(argv=None):
             with open(args.output_json, "w") as f:
                 json.dump([track_scores_to_json(t) for t in done], f)
 
+    sep_fn = score_fn = None
+    if args.device_resident:
+        engine = DeviceBssEval()
+        sep_fn = separate_track_device
+        score_fn = lambda payload, td: eval_track_device(
+            payload[0], payload[1], engine, track_name=td.name
+        )
+
     track_scores = run_parallel_evaluation(
         tracks, separators,
         use_jax=args.bss_on_device,
         eval_workers=args.eval_workers,
+        separate_fn=sep_fn,
+        score_fn=score_fn,
         on_result=stream_result,
     )
     wall = time.time() - t0

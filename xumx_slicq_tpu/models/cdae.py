@@ -162,9 +162,15 @@ def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int, amp: bool = False) 
     if fphi == 1:
         return amp_op(lambda a, b: jnp.einsum("bcfkt,oct->bofk", a, b),
                       frames, w[:, :, 0], amp=amp)
-    Fp = F - fphi + 1
-    v = jnp.stack([frames[:, :, d: d + Fp] for d in range(fphi)], axis=3)  # (B,C,Fp,fphi,K,T)
-    return amp_op(lambda a, b: jnp.einsum("bcfdkt,ocdt->bofk", a, b), v, w, amp=amp)
+    # The fphi-wide frequency window as a native conv: with the K frames
+    # flattened to a (K*T)-long time axis, kernel (fphi, T) at stride (1, T)
+    # computes sum_{c,d,t} frames[b,c,f+d,k,t] * w[o,c,d,t] exactly. A
+    # stacked-slice einsum here materializes fphi copies of the frames
+    # buffer (the T axis makes it the model's largest tensor) in HBM —
+    # ~8 GiB/track of pure im2col traffic; the conv unit windows f
+    # implicitly (PERFORMANCE.md roofline, round 3).
+    K = frames.shape[3]
+    return conv2d(frames.reshape(B, C, F, K * T), w, stride=(1, T), amp=amp)
 
 
 def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):

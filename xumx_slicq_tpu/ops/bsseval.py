@@ -325,6 +325,197 @@ def bss_eval_images(
     }
 
 
+# ---------------------------------------------------------------------------
+# fully device-resident engine
+# ---------------------------------------------------------------------------
+
+
+class DeviceBssEval:
+    """BSS-eval v4 as ONE jitted XLA program per shape bucket — the TPU-native
+    evaluation fast path.
+
+    The museval-style host engine (the reference's CPU-hours hot spot,
+    README.md:235) leaves the chip idle while a 1-core host grinds FFT
+    correlations and the 4096x4096 Gram solve. Here the whole blocked
+    overlap-save pipeline — FFT banks, Gram/cross correlations, Cholesky
+    solves, filter applications, framewise energies — runs on-device in
+    f32 (dots pinned HIGHEST = f32-accurate); only seven (nsrc, nwin)
+    energy arrays come back to the host, where the dB ratios are formed in
+    float64. Estimates produced by the Separator never leave the chip.
+
+    Numerics: f32 end-to-end (TPU has no f64). The Gram ridge is raised to
+    1e-7*trace/n (vs the host engine's 1e-10) so the Cholesky stays PD in
+    f32; measured agreement with the float64 host engine is ~0.01 dB on
+    separation-like estimates (test_bsseval.py::test_device_engine_matches_host).
+    Non-finite scores (pathological conditioning) are the caller's cue to
+    fall back to the host engine.
+
+    Shape bucketing: signals are zero-padded so the block count nb rounds
+    up to `nb_round` — exact, not approximate (zero samples contribute
+    nothing to correlations, and windows past the true length are sliced
+    off after the fetch) — so a 50-track run compiles only a handful of
+    executables, amortized further by the persistent compilation cache.
+    """
+
+    def __init__(self, window: int = 44100, hop: int = 44100,
+                 filters_len: int = 512, nb_round: int = 128):
+        if hop != window:
+            raise NotImplementedError("device engine assumes hop == window (museval v4 default)")
+        self.window, self.hop, self.flen = window, hop, filters_len
+        self.nfft = _BLK_NFFT
+        self.Lb = self.nfft - filters_len
+        self.nb_round = nb_round
+        self._cores = {}
+
+    # -- jitted core ---------------------------------------------------------
+
+    def _core(self, K: int, nb: int, nchan: int):
+        import jax
+        import jax.numpy as jnp
+
+        key = (K, nb, nchan)
+        if key in self._cores:
+            return self._cores[key]
+
+        flen, nfft, Lb, window = self.flen, self.nfft, self.Lb, self.window
+        Npad = nb * Lb
+        # clips shorter than one window get a single partial window
+        # (museval semantics: nwin = max((N-window)//hop+1, 1))
+        nwin_all = max(Npad // window, 1)
+        nsrc = K // nchan
+        bidx = np.arange(nb)[:, None] * Lb + np.arange(nfft)      # b-views
+        lags = np.arange(flen)
+        lag_mat = lags[:, None] - lags[None, :] + (flen - 1)      # (flen, flen)
+        HI = jax.lax.Precision.HIGHEST
+
+        def ein(spec, a, b):
+            return jnp.einsum(spec, a, b, precision=HI)
+
+        def solve_pos(G, D):
+            reg = 1e-7 * (jnp.trace(G) / G.shape[0])
+            A = G + reg * jnp.eye(G.shape[0], dtype=G.dtype)
+            L = jnp.linalg.cholesky(A)
+            y = jax.scipy.linalg.solve_triangular(L, D, lower=True)
+            return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+        def apply_filters(FA, coeffs, k):
+            """coeffs (k*flen, E) filtered-and-summed over FA's k signals."""
+            E = coeffs.shape[1]
+            c = coeffs.reshape(k, flen, E)
+            FC = jnp.fft.rfft(c, nfft, axis=1)                    # (k, F, E)
+            Y = ein("knf,kfe->enf", FA, FC)
+            y = jnp.fft.irfft(Y, nfft)                            # (E, nb, nfft)
+            main = y[..., :Lb].reshape(E, Npad)
+            tail = y[..., Lb: Lb + flen - 1]                      # (E, nb, flen-1)
+            tail = jnp.pad(tail, ((0, 0), (0, 0), (0, Lb - flen + 1))).reshape(E, Npad)
+            return main + jnp.pad(tail, ((0, 0), (Lb, 0)))[:, :Npad]
+
+        def frame_energy(x):
+            win_n = min(nwin_all * window, Npad)
+            xw = x[..., :win_n]
+            if win_n < nwin_all * window:     # single partial window
+                xw = jnp.pad(xw, ((0, 0), (0, 0), (0, nwin_all * window - win_n)))
+            xw = xw.reshape(nsrc, nchan, nwin_all, window)
+            return ein("scwt,scwt->sw", xw, xw)
+
+        def core(R, E_, n_true):
+            """R/E_: (K, Npad + flen) f32 zero-padded signals (b-view margin
+            included); n_true: true sample count (dynamic scalar) — the
+            projections ring out flen-1 samples past it and must not leak
+            into a partial window. Returns 7 (nsrc, nwin_all) f32 energy
+            arrays."""
+            aR = R[:, :Npad].reshape(K, nb, Lb)
+            FA = jnp.fft.rfft(aR, nfft)                           # (K, nb, F)
+            FBr = jnp.fft.rfft(R[:, bidx], nfft)
+            FBe = jnp.fft.rfft(E_[:, bidx], nfft)
+            CA = jnp.conj(FA)
+            r_rr = jnp.fft.irfft(ein("knf,lnf->klf", CA, FBr), nfft)[..., :flen]
+            r_re = jnp.fft.irfft(ein("knf,lnf->klf", CA, FBe), nfft)[..., :flen]
+            full = jnp.concatenate(
+                [r_rr.transpose(1, 0, 2)[..., 1:][..., ::-1], r_rr], axis=-1
+            )
+            G = full[:, :, lag_mat].transpose(0, 2, 1, 3).reshape(K * flen, K * flen)
+            D = r_re.transpose(0, 2, 1).reshape(K * flen, K)
+
+            valid = (jnp.arange(Npad) < n_true).astype(jnp.float32)
+            P_all = apply_filters(FA, solve_pos(G, D), K) * valid  # (K, Npad)
+
+            blocks = []
+            for j in range(nsrc):
+                rows = slice(j * nchan * flen, (j + 1) * nchan * flen)
+                cols = slice(j * nchan, (j + 1) * nchan)
+                Cj = solve_pos(G[rows, rows], D[rows, cols])
+                blocks.append(apply_filters(FA[j * nchan:(j + 1) * nchan], Cj, nchan))
+            P_self = jnp.concatenate(blocks, axis=0) * valid       # (K, Npad)
+
+            s_true = R[:, :Npad].reshape(nsrc, nchan, Npad)
+            e_est = E_[:, :Npad].reshape(nsrc, nchan, Npad)
+            p_self = P_self.reshape(nsrc, nchan, Npad)
+            p_all = P_all.reshape(nsrc, nchan, Npad)
+            return (
+                frame_energy(s_true),
+                frame_energy(p_self - s_true),
+                frame_energy(p_all - p_self),
+                frame_energy(e_est - p_all),
+                frame_energy(e_est - s_true),
+                frame_energy(p_self),
+                frame_energy(p_all),
+            )
+
+        fn = jax.jit(core)
+        self._cores[key] = fn
+        return fn
+
+    # -- host-facing API -----------------------------------------------------
+
+    def __call__(self, reference_sources, estimated_sources):
+        """reference_sources/estimated_sources: (nsrc, nsampl, nchan), numpy
+        or device arrays, f32/int16 (int16 is scaled by 1/32768 on device —
+        lossless staging for PCM_16 sources at half the transfer bytes).
+        Returns dict metric -> (nsrc, nwin) float64, museval semantics."""
+        import jax.numpy as jnp
+
+        def flatten(x):
+            x = jnp.asarray(x)
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) * (1.0 / 32768.0)
+            x = x.astype(jnp.float32)
+            nsrc, N, nchan = x.shape
+            return x.transpose(0, 2, 1).reshape(nsrc * nchan, N), N, nchan
+
+        R, N, nchan = flatten(reference_sources)
+        E, Ne, _ = flatten(estimated_sources)
+        n = min(N, Ne)
+        R, E = R[:, :n], E[:, :n]
+        K = R.shape[0]
+        nb = -(-n // self.Lb)
+        # bucket the block count: multiples of nb_round for long tracks,
+        # next power of two for short ones (a 30 s clip must not zero-pad
+        # to a full-track executable)
+        nb = (-(-nb // self.nb_round) * self.nb_round
+              if nb >= self.nb_round else _next_pow2(nb))
+        pad = nb * self.Lb + self.flen - n
+        R = jnp.pad(R, ((0, 0), (0, pad)))
+        E = jnp.pad(E, ((0, 0), (0, pad)))
+
+        energies = self._core(K, nb, nchan)(R, E, n)
+        nwin = max((n - self.window) // self.hop + 1, 1)
+        (Es_true, Es_spat, Es_interf, Es_artif,
+         Es_dist, Es_ts, Es_tsi) = (np.asarray(e, np.float64)[:, :nwin] for e in energies)
+
+        eps = np.finfo(np.float64).eps
+
+        def db(num, den):
+            return 10.0 * np.log10((num + eps) / (den + eps))
+
+        return {
+            "SDR": db(Es_true, Es_dist),
+            "ISR": db(Es_true, Es_spat),
+            "SIR": db(Es_ts, Es_interf),
+            "SAR": db(Es_tsi, Es_artif),
+        }
+
+
 def fast_sdr(track_estimate: np.ndarray, track_reference: np.ndarray, eps: float = 1e-10) -> float:
     """Simple energy-ratio SDR (reference slicqfinder.py:20-40): the cheap
     metric used for sliCQT param search, not BSS-eval."""
@@ -409,6 +600,35 @@ def eval_track(
     n = min(refs.shape[1], ests.shape[1])
     refs, ests = refs[:, :n], ests[:, :n]
     scores = bss_eval_images(refs, ests, window=window, hop=hop, use_jax=use_jax)
+    return TrackScores(
+        name=track_name,
+        targets={t: {m: scores[m][i] for m in METRICS} for i, t in enumerate(targets)},
+    )
+
+
+def eval_track_device(
+    references,
+    estimates,
+    engine: DeviceBssEval,
+    track_name: str = "",
+) -> TrackScores:
+    """Device-resident eval_track: references/estimates {target: (nsampl,
+    nchan)} numpy/device/int16 arrays. Falls back to the float64 host
+    engine if the f32 Cholesky produced non-finite scores."""
+    targets = list(references.keys())
+    import jax.numpy as jnp
+
+    refs = jnp.stack([jnp.asarray(references[t]) for t in targets])
+    ests = jnp.stack([jnp.asarray(estimates[t]) for t in targets])
+    scores = engine(refs, ests)
+    if not all(np.all(np.isfinite(v)) for v in scores.values()):
+        def to_host(x):
+            a = np.asarray(x, np.float64)
+            return a / 32768.0 if np.asarray(x).dtype == np.int16 else a
+
+        refs_h = {t: to_host(references[t]) for t in targets}
+        ests_h = {t: to_host(ests[i]) for i, t in enumerate(targets)}
+        return eval_track(refs_h, ests_h, track_name=track_name)
     return TrackScores(
         name=track_name,
         targets={t: {m: scores[m][i] for m in METRICS} for i, t in enumerate(targets)},

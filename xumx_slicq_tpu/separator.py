@@ -239,6 +239,43 @@ class Separator:
             [np.asarray(est)[..., :n] for est, n in pend], axis=-1
         )
 
+    def forward_device(self, audio) -> "jnp.ndarray":
+        """Device-resident single-track forward: (1, C, N) audio already on
+        (or staged to) the device -> (4, 1, C, N) estimates that STAY on the
+        device. Chunk split/pad/reassembly run as eager device ops around
+        the same cached jitted chunk executables as `forward` — no extra
+        tracing per track length, and no host round-trip of the stems
+        (the device-resident evaluation path scores them in place,
+        ops/bsseval.py::DeviceBssEval)."""
+        audio = jnp.asarray(audio)
+        if self.device is not None:
+            audio = jax.device_put(audio, self.device)
+        B, C, N = audio.shape
+        if B != 1:
+            raise ValueError("forward_device is single-track (B == 1)")
+        chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
+        nchunks = -(-N // chunk)
+        fn = self._chunk_fn(chunk)
+
+        a = jnp.pad(audio[0], ((0, 0), (0, nchunks * chunk - N)))
+        a = a.reshape(C, nchunks, chunk).swapaxes(0, 1)     # (nchunks, C, chunk)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        cap = self._CHUNK_BATCH_BUCKETS[-1] * n_dev
+        parts = []
+        ci = 0
+        while ci < nchunks:
+            take = min(nchunks - ci, cap)
+            bucket = next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= take)
+            nb = bucket * n_dev
+            blk = jnp.pad(a[ci: ci + take], ((0, nb - take), (0, 0), (0, 0)))
+            if self.mesh is not None:
+                blk = jax.device_put(blk, self._data_sharding)
+            parts.append(fn(self.params, self.batch_stats, blk)[:, :take])
+            ci += take
+        est = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        est = jnp.swapaxes(est, 1, 2).reshape(4, C, nchunks * chunk)[..., :N]
+        return est[:, None]                                  # (4, 1, C, N)
+
     def clone(self, device) -> "Separator":
         """Cheap per-device clone: shares the transform/model specs and the
         already-loaded weights (device_put, no manifest re-parse or weight
