@@ -41,6 +41,7 @@ import contextlib
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -397,6 +398,77 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False,
           f"(random weights; value only checks the metric path runs)", file=sys.stderr)
 
 
+def bench_data_loader(batch=64, seq_dur=2.0, n_batches=8, workers=4):
+    """Host data-loader throughput vs the device train step.
+
+    The end-to-end training rate is min(loader, step): the canonical step is
+    ~0.195 s (batch 64), so the loader must deliver a batch — 256 random wav
+    crops read, converted, augmented, collated (the reference does this with
+    torch DataLoader worker processes, training.py:329-338) — in under that.
+    Builds a synthetic MUSDB-shaped PCM_16 wav tree (the MUSDB18-HQ format)
+    and measures s/batch serial (workers=0) and threaded (--nb-workers
+    equivalent). vs_baseline is the measured fp32 step time / loader time:
+    >= 1 means the loader keeps the chip fed."""
+    import shutil
+    import tempfile
+
+    from scipy.io import wavfile
+
+    from xumx_slicq_tpu.data import DataLoader, TrackTreeDataset, aug_from_str
+
+    sr = 44100
+    track_s = 30.0
+    n_tracks = 8
+    rng = np.random.default_rng(0)
+    root = Path(tempfile.mkdtemp(prefix="slicq_loader_bench_"))
+    try:
+        for ti in range(n_tracks):
+            d = root / "train" / f"track{ti:02d}"
+            d.mkdir(parents=True)
+            n = int(track_s * sr)
+            stems = (rng.standard_normal((4, n, 2)) * 4000).astype(np.int16)
+            for k, s in enumerate(["bass", "vocals", "other", "drums"]):
+                wavfile.write(d / f"{s}.wav", sr, stems[k])
+            wavfile.write(d / "mixture.wav", sr, stems.sum(0, dtype=np.int32).clip(-32768, 32767).astype(np.int16))
+
+        def run(nw):
+            ds = TrackTreeDataset(
+                root, split="train", seq_duration=seq_dur,
+                samples_per_track=batch * n_batches // n_tracks + 1,
+                source_augmentations=aug_from_str(["gain", "channelswap"]),
+                random_track_mix=True, seed=42, validation_tracks=[],
+            )
+            loader = DataLoader(ds, batch, shuffle=True, seed=42,
+                                drop_last=True, workers=nw, prefetch=0)
+            it = iter(loader)
+            next(it)  # warm the page cache / pool
+            t0 = time.time()
+            got = 1
+            for b in it:
+                got += 1
+            return (time.time() - t0) / (got - 1)
+
+        serial_s = run(0)
+        par_s = run(workers)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    step_s = 0.1954  # measured canonical fp32 step (PERFORMANCE.md)
+    print(json.dumps({
+        "metric": "data_loader_batch_time_s",
+        "value": round(par_s, 4),
+        "unit": "s",
+        "vs_baseline": round(step_s / par_s, 3),
+    }))
+    print(
+        f"# loader: batch={batch} seq={seq_dur}s stems=PCM_16 | serial={serial_s:.3f} s/batch, "
+        f"workers={workers}: {par_s:.3f} s/batch | device step={step_s} s -> "
+        f"end-to-end epoch rate = max(loader, step) = {max(par_s, step_s):.3f} s/step "
+        f"({'loader-bound' if par_s > step_s else 'device-bound'})",
+        file=sys.stderr,
+    )
+
+
 def main():
     from xumx_slicq_tpu.utils import enable_host_malloc_reuse
 
@@ -422,10 +494,15 @@ def main():
     p.add_argument("--device-resident", action="store_true",
                    help="eval-throughput: whole track stays on device (int16 "
                         "ref staging, estimates never fetched, jitted BSS-eval)")
+    p.add_argument("--data-loader", action="store_true",
+                   help="measure host data-loader s/batch vs the train step "
+                        "(synthetic PCM_16 wav tree; no device needed)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
-    if args.train_step:
+    if args.data_loader:
+        bench_data_loader(batch=args.batch)
+    elif args.train_step:
         bench_train_step(profile_dir=args.profile, batch=args.batch, bf16=args.bf16)
     elif args.eval_throughput:
         bench_eval_throughput(n_tracks=args.eval_tracks,

@@ -61,31 +61,49 @@ def load_info(path: str) -> dict:
     }
 
 
+# PCM full-scale factors; 1/2^k is exact in binary so int->float32 followed
+# by a float32 multiply is bit-identical to the float64 route it replaces
+_PCM_SCALE = {"int16": 1.0 / 32768.0, "int32": 1.0 / 2147483648.0}
+
+
 def _to_float32(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.float32:
         return data
     if data.dtype == np.float64:
         return data.astype(np.float32)
-    if data.dtype == np.int16:
-        return (data / 32768.0).astype(np.float32)
-    if data.dtype == np.int32:
-        return (data / 2147483648.0).astype(np.float32)
+    scale = _PCM_SCALE.get(data.dtype.name)
+    if scale is not None:
+        out = data.astype(np.float32)
+        out *= np.float32(scale)
+        return out
     if data.dtype == np.uint8:
-        return ((data.astype(np.float32) - 128.0) / 128.0)
+        return (data.astype(np.float32) - 128.0) / 128.0
     raise ValueError(f"unsupported wav dtype {data.dtype}")
 
 
 def load_audio(path: str, start: float = 0.0, dur: Optional[float] = None):
-    """Load a wav file -> ((channels, samples) float32, samplerate)."""
+    """Load a wav file -> ((channels, samples) float32, samplerate).
+
+    Single-pass hot path: for PCM wavs the transpose + int->float convert +
+    full-scale multiply fuse into one `np.multiply(..., out=)` write (the
+    naive route costs three full passes per read; at 256 stem reads per
+    training batch that is the host loader's dominant cost)."""
     sr, data = wavfile.read(str(path), mmap=True)
     if dur is not None:
         lo = int(start * sr)
         hi = lo + int(dur * sr)
         data = data[lo:hi]
-    data = _to_float32(np.asarray(data))
+    data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
-    return data.T.copy(), sr
+    scale = _PCM_SCALE.get(data.dtype.name)
+    if scale is not None:
+        out = np.empty((data.shape[1], data.shape[0]), np.float32)
+        np.multiply(data.T, np.float32(scale), out=out)
+        return out, sr
+    if data.dtype == np.float32 or data.dtype == np.float64:
+        return np.ascontiguousarray(data.T, dtype=np.float32), sr
+    return _to_float32(data).T.copy(), sr
 
 
 def load_audio_raw(path: str):
@@ -145,20 +163,28 @@ def _augment_gain(audio: np.ndarray, rng: random.Random, low=0.25, high=1.25) ->
 
 def _augment_channelswap(audio: np.ndarray, rng: random.Random) -> np.ndarray:
     if audio.shape[0] == 2 and rng.random() < 0.5:
-        return audio[::-1].copy()
+        return audio[::-1]  # reversed view; downstream only reads
     return audio
 
 
-def aug_from_str(names: List[str]) -> Callable:
-    fns = {"gain": _augment_gain, "channelswap": _augment_channelswap}
-    chosen = [fns[n] for n in names]
+class AugChain:
+    """Composed augmentation chain. Exposes `names` so TrackTreeDataset can
+    recognize the canonical gain/channelswap chain and fold it into the
+    single load-multiply pass (same RNG draw protocol, see _getitem_rng)."""
 
-    def apply(audio, rng):
-        for f in chosen:
+    def __init__(self, names: List[str], fns: List[Callable]):
+        self.names = tuple(names)
+        self._fns = fns
+
+    def __call__(self, audio, rng):
+        for f in self._fns:
             audio = f(audio, rng)
         return audio
 
-    return apply
+
+def aug_from_str(names: List[str]) -> AugChain:
+    fns = {"gain": _augment_gain, "channelswap": _augment_channelswap}
+    return AugChain(list(names), [fns[n] for n in names])
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +251,7 @@ class TrackTreeDataset:
                 names = [n for n in names if n not in validation_tracks]
 
         self.track_dirs = [base / n for n in names]
+        self._stem_cache = {}
         self.tracks = []
         for d in self.track_dirs:
             info = load_info(d / "mixture.wav")
@@ -233,15 +260,39 @@ class TrackTreeDataset:
                 "name": d.name,
                 "duration": info["duration"],
                 "samples": info["samples"],
+                "channels": info["channels"],
             }
             if in_memory:
                 entry["audio"] = {
                     s: load_audio(d / f"{s}.wav")[0] for s in ["mixture"] + SOURCES
                 }
             self.tracks.append(entry)
+        if self.seq_duration and self.tracks:
+            # fixed item shape -> DataLoader can collate without copies
+            # (workers write items straight into the batch buffer)
+            self.item_shape = (
+                5, self.tracks[0]["channels"],
+                int(self.seq_duration * self.sample_rate),
+            )
 
     def __len__(self):
         return len(self.tracks) * self.samples_per_track
+
+    def _open_stem(self, track, source):
+        """Cached (samplerate, (samples, C) memmap) per stem: random-crop
+        sampling reads every stem hundreds of times per epoch, and a fresh
+        wavfile.read costs an open + header parse + mmap setup each time.
+        ~5 fds per track stay open (MUSDB train: 360 — well under default
+        ulimits). Benign under threads: worst case two workers both open."""
+        key = (track["name"], source)
+        ent = self._stem_cache.get(key)
+        if ent is None:
+            sr, data = wavfile.read(str(track["path"] / f"{source}.wav"), mmap=True)
+            if data.ndim == 1:
+                data = data[:, None]
+            ent = (sr, data)
+            self._stem_cache[key] = ent
+        return ent
 
     def _read(self, track, source, start_s, dur_s):
         if self.in_memory:
@@ -250,36 +301,97 @@ class TrackTreeDataset:
                 return a
             lo = int(start_s * self.sample_rate)
             return a[:, lo: lo + int(dur_s * self.sample_rate)]
-        return load_audio(track["path"] / f"{source}.wav", start=start_s, dur=dur_s)[0]
+        if dur_s is None:
+            return load_audio(track["path"] / f"{source}.wav")[0]
+        sr, data = self._open_stem(track, source)
+        lo = int(start_s * sr)
+        seg = data[lo: lo + int(dur_s * sr)]
+        scale = _PCM_SCALE.get(seg.dtype.name)
+        if scale is None:  # float wavs
+            return np.ascontiguousarray(np.asarray(seg).T, dtype=np.float32)
+        out = np.empty((seg.shape[1], seg.shape[0]), np.float32)
+        np.multiply(seg.T, np.float32(scale), out=out)
+        return out
 
     def __getitem__(self, index: int) -> np.ndarray:
-        track = self.tracks[index // self.samples_per_track]
+        return self._getitem_rng(index, self.rng)
 
+    def getitem_seeded(self, index: int, seed: int) -> np.ndarray:
+        """Deterministic item from a private RNG — the DataLoader's parallel
+        path draws the seed sequence serially, so sampled crops/augments are
+        reproducible regardless of worker count or completion order."""
+        return self._getitem_rng(index, random.Random(seed))
+
+    def getitem_into(self, out: np.ndarray, index: int, seed: Optional[int] = None):
+        """Fill a caller-provided (5, C, n) float32 buffer (a batch-array
+        row) in place — the DataLoader's zero-copy collate path. seed=None
+        draws from the dataset's own RNG (serial use)."""
+        rng = self.rng if seed is None else random.Random(seed)
+        self._fill_item(out, index, rng)
+
+    def _getitem_rng(self, index: int, rng: random.Random) -> np.ndarray:
         if self.seq_duration:
-            ys = {}
-            srcs = []
-            for source in SOURCES:
-                if self.random_track_mix:
-                    track = self.rng.choice(self.tracks)
-                dur = min(track["duration"], self.seq_duration)
-                if self.fixed_start < 0:
-                    start = self.rng.uniform(0, track["duration"] - dur)
-                else:
-                    start = self.fixed_start
-                audio = self._read(track, source, start, dur)
-                audio = self.source_augmentations(audio, self.rng)
-                n = int(self.seq_duration * self.sample_rate)
-                if audio.shape[-1] < n:
-                    audio = np.pad(audio, ((0, 0), (0, n - audio.shape[-1])))
-                audio = audio[:, :n]
-                ys[source] = audio
-                srcs.append(audio)
-            x = np.sum(srcs, axis=0)
-        else:
-            x = self._read(track, "mixture", 0, None)
-            ys = {s: self._read(track, s, 0, None) for s in SOURCES}
+            out = np.empty(self.item_shape, np.float32)
+            self._fill_item(out, index, rng)
+            return out
 
+        track = self.tracks[index // self.samples_per_track]
+        x = self._read(track, "mixture", 0, None)
+        ys = {s: self._read(track, s, 0, None) for s in SOURCES}
         return np.stack([x, ys["bass"], ys["vocals"], ys["other"], ys["drums"]]).astype(np.float32)
+
+    def _fill_item(self, out: np.ndarray, index: int, rng: random.Random):
+        """Write one training item into out (5, C, n): each stem lands in
+        its final row in ONE pass. When the augmentation chain is the
+        canonical gain/channelswap set, gain folds into the PCM full-scale
+        multiply and the swap into the transpose view, so the memmap'd wav
+        bytes go straight to the batch buffer (identical RNG draw sequence
+        to the generic chain)."""
+        track = self.tracks[index // self.samples_per_track]
+        aug_names = getattr(self.source_augmentations, "names", None)
+        foldable = (
+            aug_names is not None
+            and set(aug_names) <= {"gain", "channelswap"}
+            and not self.in_memory
+        )
+        n = out.shape[-1]
+        for k, source in enumerate(SOURCES):
+            if self.random_track_mix:
+                track = rng.choice(self.tracks)
+            dur = min(track["duration"], self.seq_duration)
+            if self.fixed_start < 0:
+                start = rng.uniform(0, track["duration"] - dur)
+            else:
+                start = self.fixed_start
+            if foldable:
+                sr, data = self._open_stem(track, source)
+                scale = _PCM_SCALE.get(data.dtype.name)
+                if scale is not None or data.dtype in (np.float32, np.float64):
+                    seg = data[int(start * sr): int(start * sr) + int(dur * sr)]
+                    gain = 1.0
+                    swap = False
+                    for name in aug_names:  # same draws as _augment_*
+                        if name == "gain":
+                            gain = 0.25 + rng.random() * 1.0
+                        elif name == "channelswap" and seg.shape[1] == 2:
+                            swap = rng.random() < 0.5
+                    m = min(seg.shape[0], n)
+                    src_t = seg[:m].T[::-1] if swap else seg[:m].T
+                    np.multiply(
+                        src_t,
+                        np.float32(gain * (scale if scale is not None else 1.0)),
+                        out=out[1 + k, :, :m],
+                    )
+                    if m < n:
+                        out[1 + k, :, m:] = 0.0
+                    continue
+            audio = self._read(track, source, start, dur)
+            audio = self.source_augmentations(audio, rng)
+            m = min(audio.shape[-1], n)
+            out[1 + k, :, :m] = audio[:, :m]
+            if m < n:
+                out[1 + k, :, m:] = 0.0
+        np.sum(out[1:], axis=0, out=out[0])
 
 
 class MUSDBDataset(TrackTreeDataset):
@@ -359,12 +471,18 @@ class SyntheticDataset:
         return self.n_tracks * self.samples_per_track
 
     def __getitem__(self, index):
+        return self._getitem_rng(index, self.rng)
+
+    def getitem_seeded(self, index, seed):
+        return self._getitem_rng(index, random.Random(seed))
+
+    def _getitem_rng(self, index, rng):
         stems = self._tracks[index // self.samples_per_track]
         if self.seq_duration:
             n = int(self.seq_duration * self.sample_rate)
             # max(..., 1): seq_duration == track_duration leaves no slack,
             # randrange(0, 0) would raise
-            lo = self.rng.randrange(0, max(stems.shape[-1] - n, 1))
+            lo = rng.randrange(0, max(stems.shape[-1] - n, 1))
             stems = stems[..., lo: lo + n]
         x = stems.sum(0)
         return np.concatenate([x[None], stems]).astype(np.float32)
@@ -379,6 +497,8 @@ def pad_collate(items: List[np.ndarray]) -> np.ndarray:
     """Zero-pad variable-length items to a common length
     (reference custom_collate, data.py:14-36)."""
     max_len = max(it.shape[-1] for it in items)
+    if all(it.shape[-1] == max_len for it in items):  # common equal-length case
+        return np.stack(items).astype(np.float32, copy=False)
     out = np.zeros((len(items), *items[0].shape[:-1], max_len), np.float32)
     for i, it in enumerate(items):
         out[i, ..., : it.shape[-1]] = it
@@ -387,29 +507,72 @@ def pad_collate(items: List[np.ndarray]) -> np.ndarray:
 
 class DataLoader:
     """Minimal host data loader: shuffling, batching, optional background
-    thread prefetch (replaces torch DataLoader workers, training.py:329-338)."""
+    thread prefetch (replaces torch DataLoader workers, training.py:329-338).
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0, prefetch: int = 2, drop_last: bool = False):
+    workers > 0 loads a batch's items through a thread pool when the dataset
+    exposes `getitem_seeded` (numpy conversion and mmap page-fault IO both
+    release the GIL, so threads overlap wav reads even on a small host; the
+    per-item seeds are drawn serially, keeping sampling deterministic under
+    any worker count). Datasets without `getitem_seeded` fall back to serial
+    in-order loading."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0, prefetch: int = 2, drop_last: bool = False, workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.workers = workers
+        self._seed_rng = random.Random(seed ^ 0x9E3779B9)
+        self._pool = None
+        if workers > 0 and hasattr(dataset, "getitem_seeded"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _load_items(self, sel) -> List[np.ndarray]:
+        if self._pool is not None:
+            seeds = [self._seed_rng.getrandbits(63) for _ in sel]
+            futs = [
+                self._pool.submit(self.dataset.getitem_seeded, int(j), s)
+                for j, s in zip(sel, seeds)
+            ]
+            return [f.result() for f in futs]
+        return [self.dataset[int(j)] for j in sel]
+
     def _batches(self) -> Iterator[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        # zero-copy collate: fixed-shape datasets fill rows of a
+        # preallocated batch buffer in place (no per-item alloc, no stack)
+        shape = getattr(self.dataset, "item_shape", None)
+        into = getattr(self.dataset, "getitem_into", None)
         for i in range(0, len(idx), self.batch_size):
             sel = idx[i: i + self.batch_size]
             if self.drop_last and len(sel) < self.batch_size:
                 return
-            yield pad_collate([self.dataset[int(j)] for j in sel])
+            if shape is not None and into is not None:
+                batch = np.empty((len(sel), *shape), np.float32)
+                if self._pool is not None:
+                    seeds = [self._seed_rng.getrandbits(63) for _ in sel]
+                    futs = [
+                        self._pool.submit(into, batch[bi], int(j), s)
+                        for bi, (j, s) in enumerate(zip(sel, seeds))
+                    ]
+                    for f in futs:
+                        f.result()
+                else:
+                    for bi, j in enumerate(sel):
+                        into(batch[bi], int(j))
+                yield batch
+            else:
+                yield pad_collate(self._load_items(sel))
 
     def __iter__(self):
         if self.prefetch <= 0:

@@ -329,7 +329,9 @@ def build_argparser():
     p.add_argument("--fbins", type=int, default=262)
     p.add_argument("--fmin", type=float, default=32.9)
     p.add_argument("--fgamma", type=float, default=0.0)
-    p.add_argument("--nb-workers", type=int, default=4)
+    p.add_argument("--nb-workers", type=int, default=4,
+                   help="loader threads per batch (GIL-releasing numpy/mmap "
+                        "reads; deterministic via serial per-item seeds)")
     p.add_argument("--quiet", action="store_true", default=False)
     p.add_argument("--n-devices", type=int, default=-1,
                    help="devices for the dp mesh (-1 = all)")
@@ -483,7 +485,8 @@ def training_main(argv=None, epoch_callback=None):
     opt_state = shard_targets(opt_state, mesh)
 
     train_loader = DataLoader(
-        train_dataset, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+        train_dataset, args.batch_size, shuffle=True, seed=args.seed,
+        drop_last=True, workers=args.nb_workers,
     )
     valid_loader = DataLoader(valid_dataset, args.batch_size_valid, shuffle=False)
 
@@ -500,6 +503,7 @@ def training_main(argv=None, epoch_callback=None):
         end = time.time()
         # -- train
         meter = AverageMeter()
+        pending_loss = None
         for bi, batch in enumerate(train_loader):
             if args.max_batches_per_epoch > 0 and bi >= args.max_batches_per_epoch:
                 break
@@ -517,7 +521,17 @@ def training_main(argv=None, epoch_callback=None):
             params, batch_stats, opt_state, l = train_step(
                 params, batch_stats, opt_state, batch, step_rng
             )
-            meter.update(l, batch.shape[0])
+            # fetch the PREVIOUS step's loss: float() blocks until that step
+            # finishes, so deferring by one keeps a step in flight — the host
+            # dispatches step i+1 (and the loader thread fills the queue)
+            # while the device executes step i, hiding the per-step scalar
+            # round-trip (~50 ms on the dev tunnel) off the critical path
+            if pending_loss is not None:
+                meter.update(*pending_loss)
+            pending_loss = (l, batch.shape[0])
+        if pending_loss is not None:
+            meter.update(*pending_loss)
+            pending_loss = None
         if trace_active:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             trace_active = False
