@@ -104,22 +104,25 @@ def test_load_audio_int16_exact(tmp_path):
     np.testing.assert_array_equal(seg, ref[:, 220:440])
 
 
+def _loader_over_tree(tmp_path, workers, prefetch=0, seed=7):
+    ds = D.TrackTreeDataset(
+        tmp_path, split="train", seq_duration=0.05, samples_per_track=4,
+        source_augmentations=D.aug_from_str(["gain", "channelswap"]),
+        random_track_mix=True, seed=11,
+    )
+    return D.DataLoader(ds, batch_size=4, shuffle=True, seed=seed,
+                        workers=workers, prefetch=prefetch)
+
+
 def test_loader_workers_deterministic(tmp_path):
-    """workers>0 loads items through a thread pool; the serially-drawn seed
-    sequence keeps sampled crops identical across runs and worker counts."""
+    """Item seeds derive from (loader seed, epoch, batch, item) position, so
+    the data stream is identical for ANY worker count — including the
+    serial workers=0 path — and across runs."""
     _make_tree(tmp_path, "train", ["trackA", "trackB"])
 
-    def run(workers):
-        ds = D.TrackTreeDataset(
-            tmp_path, split="train", seq_duration=0.05, samples_per_track=4,
-            source_augmentations=D.aug_from_str(["gain", "channelswap"]),
-            random_track_mix=True, seed=11,
-        )
-        loader = D.DataLoader(ds, batch_size=4, shuffle=True, seed=7,
-                              workers=workers, prefetch=0)
-        return list(loader)
-
-    a, b, c = run(2), run(2), run(3)
+    a = list(_loader_over_tree(tmp_path, workers=0))
+    b = list(_loader_over_tree(tmp_path, workers=2))
+    c = list(_loader_over_tree(tmp_path, workers=3))
     assert len(a) == 2 and a[0].shape == (4, 5, 2, int(0.05 * 44100))
     for x, y, z in zip(a, b, c):
         np.testing.assert_array_equal(x, y)
@@ -127,6 +130,69 @@ def test_loader_workers_deterministic(tmp_path):
     # items keep the mix == sum-of-stems invariant modulo augment gains
     # applied per stem (mix is assembled from the augmented stems)
     np.testing.assert_allclose(a[0][:, 0], a[0][:, 1:].sum(1), atol=1e-5)
+
+
+def test_loader_abandoned_epoch_deterministic(tmp_path):
+    """Abandoning an epoch early (the --max-batches-per-epoch pattern, with
+    prefetch threads in flight) must not perturb later epochs' data, and
+    the prefetch producer thread must unblock and exit."""
+    import threading
+
+    _make_tree(tmp_path, "train", ["trackA", "trackB"])
+
+    full = _loader_over_tree(tmp_path, workers=2, prefetch=2)
+    list(full)                      # epoch 0 fully consumed
+    ref_epoch1 = list(full)
+
+    ab = _loader_over_tree(tmp_path, workers=2, prefetch=2)
+    next(iter(ab))                  # epoch 0 abandoned after one batch
+    got_epoch1 = list(ab)
+
+    for x, y in zip(ref_epoch1, got_epoch1):
+        np.testing.assert_array_equal(x, y)
+
+    # no leaked producer threads blocked in q.put (pool workers persist by
+    # design; only the named prefetch producers must be gone)
+    import time
+    def prefetchers():
+        return [t for t in threading.enumerate() if t.name == "slicq-prefetch"]
+    deadline = time.time() + 6.0
+    while time.time() < deadline and prefetchers():
+        time.sleep(0.1)
+    assert not prefetchers()
+
+
+def test_loader_slow_consumer_terminates(tmp_path):
+    """Epoch-end sentinel delivery must wait out a full prefetch queue
+    (regression: put_nowait dropped the sentinel whenever the consumer was
+    slower than the producer, hanging the training loop in q.get())."""
+    import threading
+    import time
+
+    _make_tree(tmp_path, "train", ["trackA", "trackB"])
+    loader = _loader_over_tree(tmp_path, workers=2, prefetch=1)
+    done = []
+
+    def consume():
+        for _ in loader:
+            time.sleep(0.4)  # queue fills; producer finishes first
+        done.append(True)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=20.0)
+    assert done, "loader iteration hung after the last batch"
+
+
+def test_crop_to_float32_uint8_and_unknown(tmp_path):
+    """The shared crop converter keeps uint8 offset handling and rejects
+    unknown dtypes on every path (regression: the fused crop path once
+    returned raw 0..255 uint8 values unscaled)."""
+    u8 = np.array([[0, 255], [128, 128]], np.uint8)  # (samples, C)
+    out = D._crop_to_float32(u8)
+    np.testing.assert_allclose(out, [[-1.0, 0.0], [127 / 128, 0.0]])
+    with pytest.raises(ValueError):
+        D._crop_to_float32(np.zeros((4, 2), np.int64))
 
 
 def test_pad_collate():

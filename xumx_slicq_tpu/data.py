@@ -81,13 +81,38 @@ def _to_float32(data: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported wav dtype {data.dtype}")
 
 
+def _crop_to_float32(seg: np.ndarray, gain: float = 1.0, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """(samples, C) wav slice (any supported dtype, typically a memmap view)
+    -> (C, samples) float32 scaled by PCM full-scale x gain, in ONE pass
+    into `out` (or a fresh OWNED array — never a view of the input).
+
+    The single shared conversion path for load_audio, TrackTreeDataset
+    crops, and the folded-augmentation fill (keeps uint8 offset handling
+    and the unsupported-dtype error in every route)."""
+    scale = _PCM_SCALE.get(seg.dtype.name)
+    if scale is None and seg.dtype not in (np.float32, np.float64):
+        res = _to_float32(np.asarray(seg)).T  # uint8 offset / raises unknown
+        if gain != 1.0:
+            res = res * np.float32(gain)
+        if out is None:
+            return np.array(res, np.float32, order="C")
+        out[...] = res
+        return out
+    g = np.float32(gain * (scale if scale is not None else 1.0))
+    if out is None:
+        out = np.empty((seg.shape[1], seg.shape[0]), np.float32)
+    np.multiply(seg.T, g, out=out)
+    return out
+
+
 def load_audio(path: str, start: float = 0.0, dur: Optional[float] = None):
     """Load a wav file -> ((channels, samples) float32, samplerate).
 
     Single-pass hot path: for PCM wavs the transpose + int->float convert +
     full-scale multiply fuse into one `np.multiply(..., out=)` write (the
     naive route costs three full passes per read; at 256 stem reads per
-    training batch that is the host loader's dominant cost)."""
+    training batch that is the host loader's dominant cost). Always returns
+    an owned array, never an mmap-backed view."""
     sr, data = wavfile.read(str(path), mmap=True)
     if dur is not None:
         lo = int(start * sr)
@@ -96,14 +121,7 @@ def load_audio(path: str, start: float = 0.0, dur: Optional[float] = None):
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
-    scale = _PCM_SCALE.get(data.dtype.name)
-    if scale is not None:
-        out = np.empty((data.shape[1], data.shape[0]), np.float32)
-        np.multiply(data.T, np.float32(scale), out=out)
-        return out, sr
-    if data.dtype == np.float32 or data.dtype == np.float64:
-        return np.ascontiguousarray(data.T, dtype=np.float32), sr
-    return _to_float32(data).T.copy(), sr
+    return _crop_to_float32(data), sr
 
 
 def load_audio_raw(path: str):
@@ -168,13 +186,16 @@ def _augment_channelswap(audio: np.ndarray, rng: random.Random) -> np.ndarray:
 
 
 class AugChain:
-    """Composed augmentation chain. Exposes `names` so TrackTreeDataset can
-    recognize the canonical gain/channelswap chain and fold it into the
-    single load-multiply pass (same RNG draw protocol, see _getitem_rng)."""
+    """Composed augmentation chain. `canonical_fold=True` (set only by
+    aug_from_str for a duplicate-free gain/channelswap chain built from the
+    module's own augment fns) lets TrackTreeDataset fold the chain into the
+    single load-multiply pass (same RNG draw protocol, see _fill_item).
+    Custom chains — even ones reusing these names — keep the generic path."""
 
-    def __init__(self, names: List[str], fns: List[Callable]):
+    def __init__(self, names: List[str], fns: List[Callable], canonical_fold: bool = False):
         self.names = tuple(names)
         self._fns = fns
+        self.canonical_fold = canonical_fold
 
     def __call__(self, audio, rng):
         for f in self._fns:
@@ -184,7 +205,8 @@ class AugChain:
 
 def aug_from_str(names: List[str]) -> AugChain:
     fns = {"gain": _augment_gain, "channelswap": _augment_channelswap}
-    return AugChain(list(names), [fns[n] for n in names])
+    canonical = set(names) <= set(fns) and len(set(names)) == len(names)
+    return AugChain(list(names), [fns[n] for n in names], canonical_fold=canonical)
 
 
 # ---------------------------------------------------------------------------
@@ -305,21 +327,16 @@ class TrackTreeDataset:
             return load_audio(track["path"] / f"{source}.wav")[0]
         sr, data = self._open_stem(track, source)
         lo = int(start_s * sr)
-        seg = data[lo: lo + int(dur_s * sr)]
-        scale = _PCM_SCALE.get(seg.dtype.name)
-        if scale is None:  # float wavs
-            return np.ascontiguousarray(np.asarray(seg).T, dtype=np.float32)
-        out = np.empty((seg.shape[1], seg.shape[0]), np.float32)
-        np.multiply(seg.T, np.float32(scale), out=out)
-        return out
+        return _crop_to_float32(data[lo: lo + int(dur_s * sr)])
 
     def __getitem__(self, index: int) -> np.ndarray:
         return self._getitem_rng(index, self.rng)
 
     def getitem_seeded(self, index: int, seed: int) -> np.ndarray:
-        """Deterministic item from a private RNG — the DataLoader's parallel
-        path draws the seed sequence serially, so sampled crops/augments are
-        reproducible regardless of worker count or completion order."""
+        """Deterministic item from a private RNG — the DataLoader derives
+        the seed from (loader seed, epoch, batch, item) position, so sampled
+        crops/augments are reproducible regardless of worker count, thread
+        completion order, or prior-epoch consumption."""
         return self._getitem_rng(index, random.Random(seed))
 
     def getitem_into(self, out: np.ndarray, index: int, seed: Optional[int] = None):
@@ -348,12 +365,10 @@ class TrackTreeDataset:
         bytes go straight to the batch buffer (identical RNG draw sequence
         to the generic chain)."""
         track = self.tracks[index // self.samples_per_track]
-        aug_names = getattr(self.source_augmentations, "names", None)
-        foldable = (
-            aug_names is not None
-            and set(aug_names) <= {"gain", "channelswap"}
-            and not self.in_memory
-        )
+        aug = self.source_augmentations
+        # only the canonical chain built by aug_from_str folds (custom
+        # chains — even ones reusing these names — keep the generic path)
+        foldable = getattr(aug, "canonical_fold", False) and not self.in_memory
         n = out.shape[-1]
         for k, source in enumerate(SOURCES):
             if self.random_track_mix:
@@ -365,28 +380,22 @@ class TrackTreeDataset:
                 start = self.fixed_start
             if foldable:
                 sr, data = self._open_stem(track, source)
-                scale = _PCM_SCALE.get(data.dtype.name)
-                if scale is not None or data.dtype in (np.float32, np.float64):
-                    seg = data[int(start * sr): int(start * sr) + int(dur * sr)]
-                    gain = 1.0
-                    swap = False
-                    for name in aug_names:  # same draws as _augment_*
-                        if name == "gain":
-                            gain = 0.25 + rng.random() * 1.0
-                        elif name == "channelswap" and seg.shape[1] == 2:
-                            swap = rng.random() < 0.5
-                    m = min(seg.shape[0], n)
-                    src_t = seg[:m].T[::-1] if swap else seg[:m].T
-                    np.multiply(
-                        src_t,
-                        np.float32(gain * (scale if scale is not None else 1.0)),
-                        out=out[1 + k, :, :m],
-                    )
-                    if m < n:
-                        out[1 + k, :, m:] = 0.0
-                    continue
+                seg = data[int(start * sr): int(start * sr) + int(dur * sr)]
+                gain = 1.0
+                swap = False
+                for name in aug.names:  # same draws as _augment_*
+                    if name == "gain":
+                        gain = 0.25 + rng.random() * 1.0
+                    elif name == "channelswap" and seg.shape[1] == 2:
+                        swap = rng.random() < 0.5
+                m = min(seg.shape[0], n)
+                seg = seg[:m, ::-1] if swap else seg[:m]
+                _crop_to_float32(seg, gain=gain, out=out[1 + k, :, :m])
+                if m < n:
+                    out[1 + k, :, m:] = 0.0
+                continue
             audio = self._read(track, source, start, dur)
-            audio = self.source_augmentations(audio, rng)
+            audio = aug(audio, rng)
             m = min(audio.shape[-1], n)
             out[1 + k, :, :m] = audio[:, :m]
             if m < n:
@@ -509,24 +518,29 @@ class DataLoader:
     """Minimal host data loader: shuffling, batching, optional background
     thread prefetch (replaces torch DataLoader workers, training.py:329-338).
 
-    workers > 0 loads a batch's items through a thread pool when the dataset
-    exposes `getitem_seeded` (numpy conversion and mmap page-fault IO both
-    release the GIL, so threads overlap wav reads even on a small host; the
-    per-item seeds are drawn serially, keeping sampling deterministic under
-    any worker count). Datasets without `getitem_seeded` fall back to serial
-    in-order loading."""
+    For datasets exposing `getitem_seeded`/`getitem_into`, every item's RNG
+    seed is DERIVED from (loader seed, epoch, batch index, item index) —
+    never drawn from a shared stream — so the sampled data is identical for
+    any `workers` count (including 0), any prefetch depth, and regardless
+    of whether an earlier epoch was consumed fully or abandoned early.
+    workers > 0 loads a batch's items through a thread pool (numpy
+    conversion and mmap page-fault IO both release the GIL, so threads
+    overlap wav reads even on a small host). Datasets without the seeded
+    protocol fall back to serial `dataset[i]` loading."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0, prefetch: int = 2, drop_last: bool = False, workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.workers = workers
-        self._seed_rng = random.Random(seed ^ 0x9E3779B9)
+        self._epoch = 0
+        self._seeded = hasattr(dataset, "getitem_seeded")
         self._pool = None
-        if workers > 0 and hasattr(dataset, "getitem_seeded"):
+        if workers > 0 and self._seeded:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
@@ -535,17 +549,30 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _load_items(self, sel) -> List[np.ndarray]:
-        if self._pool is not None:
-            seeds = [self._seed_rng.getrandbits(63) for _ in sel]
-            futs = [
-                self._pool.submit(self.dataset.getitem_seeded, int(j), s)
-                for j, s in zip(sel, seeds)
-            ]
-            return [f.result() for f in futs]
+    def _item_seed(self, epoch: int, bi: int, ii: int) -> int:
+        # collision-free field packing (not a hash): unique per position
+        return (
+            ((self.seed & 0xFFFFFFFF) << 96)
+            | ((epoch & 0xFFFFFFFF) << 64)
+            | ((bi & 0xFFFFFFFF) << 32)
+            | (ii & 0xFFFFFFFF)
+        )
+
+    def _load_items(self, sel, epoch: int, bi: int) -> List[np.ndarray]:
+        if self._seeded:
+            geti = self.dataset.getitem_seeded
+            if self._pool is not None:
+                futs = [
+                    self._pool.submit(geti, int(j), self._item_seed(epoch, bi, ii))
+                    for ii, j in enumerate(sel)
+                ]
+                return [f.result() for f in futs]
+            return [geti(int(j), self._item_seed(epoch, bi, ii)) for ii, j in enumerate(sel)]
         return [self.dataset[int(j)] for j in sel]
 
     def _batches(self) -> Iterator[np.ndarray]:
+        epoch = self._epoch
+        self._epoch += 1
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -553,26 +580,25 @@ class DataLoader:
         # preallocated batch buffer in place (no per-item alloc, no stack)
         shape = getattr(self.dataset, "item_shape", None)
         into = getattr(self.dataset, "getitem_into", None)
-        for i in range(0, len(idx), self.batch_size):
+        for bi, i in enumerate(range(0, len(idx), self.batch_size)):
             sel = idx[i: i + self.batch_size]
             if self.drop_last and len(sel) < self.batch_size:
                 return
             if shape is not None and into is not None:
                 batch = np.empty((len(sel), *shape), np.float32)
                 if self._pool is not None:
-                    seeds = [self._seed_rng.getrandbits(63) for _ in sel]
                     futs = [
-                        self._pool.submit(into, batch[bi], int(j), s)
-                        for bi, (j, s) in enumerate(zip(sel, seeds))
+                        self._pool.submit(into, batch[ii], int(j), self._item_seed(epoch, bi, ii))
+                        for ii, j in enumerate(sel)
                     ]
                     for f in futs:
                         f.result()
                 else:
-                    for bi, j in enumerate(sel):
-                        into(batch[bi], int(j))
+                    for ii, j in enumerate(sel):
+                        into(batch[ii], int(j), self._item_seed(epoch, bi, ii))
                 yield batch
             else:
-                yield pad_collate(self._load_items(sel))
+                yield pad_collate(self._load_items(sel, epoch, bi))
 
     def __iter__(self):
         if self.prefetch <= 0:
@@ -580,18 +606,45 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                # deliver the sentinel with the same stop-aware bounded put:
+                # a plain put_nowait would drop it whenever the queue is
+                # full at epoch end, leaving the consumer blocked in q.get()
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
-        th = threading.Thread(target=worker, daemon=True)
+        th = threading.Thread(target=worker, daemon=True, name="slicq-prefetch")
         th.start()
-        while True:
-            b = q.get()
-            if b is sentinel:
-                break
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is sentinel:
+                    break
+                yield b
+        finally:
+            # abandoned mid-epoch (e.g. --max-batches-per-epoch): unblock
+            # the producer and release its prefetched batch buffers
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            th.join(timeout=5.0)
