@@ -126,6 +126,35 @@ def test_device_engine_int16_staging():
         np.testing.assert_allclose(a[m], b[m], atol=1e-4)
 
 
+def test_device_engine_pcm_dtypes():
+    """All wav PCM dtypes the host loader accepts must score identically to
+    pre-scaled float32 through the device engine, and unsupported dtypes
+    must raise (regression: int32 refs once passed through unscaled,
+    silently producing garbage scores)."""
+    import pytest
+
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval
+
+    rng = np.random.default_rng(15)
+    refs_f = (rng.standard_normal((2, 22050 + 7, 2)) * 0.1).astype(np.float32)
+    ests = refs_f + 0.05 * rng.standard_normal(refs_f.shape).astype(np.float32)
+    eng = DeviceBssEval(window=11025, hop=11025, filters_len=128, nb_round=1)
+    base = eng(refs_f, ests)
+
+    refs_i32 = (refs_f * 2147483648.0).astype(np.int32)
+    i32 = eng(refs_i32, ests)
+    for m in base:
+        np.testing.assert_allclose(i32[m], base[m], atol=1e-3)
+
+    refs_u8 = np.round(refs_f * 128.0 + 128.0).clip(0, 255).astype(np.uint8)
+    u8 = eng(refs_u8, ests)  # 8-bit quantization: just require sane scale
+    assert np.all(np.isfinite(u8["SDR"]))
+    assert np.nanmedian(u8["SDR"]) > -10
+
+    with pytest.raises(ValueError):
+        eng(refs_f.astype(np.int64), ests)
+
+
 def test_eval_track_device_fallback_and_scores():
     """eval_track_device returns museval-shaped TrackScores; a perfect
     estimate scores ~inf-high SDR through the device engine too."""

@@ -66,6 +66,22 @@ def load_info(path: str) -> dict:
 _PCM_SCALE = {"int16": 1.0 / 32768.0, "int32": 1.0 / 2147483648.0}
 
 
+def pcm_scale_info(dtype) -> tuple:
+    """(scale, offset) such that float = (raw - offset) * scale for a wav
+    sample dtype; raises on unsupported dtypes. The single source of truth
+    for PCM normalization — shared by the host loader and the
+    device-resident staging paths (ops/bsseval.py::DeviceBssEval), which
+    ship raw ints over the link and scale on-chip."""
+    name = np.dtype(dtype).name
+    if name in ("float32", "float64"):
+        return 1.0, 0.0
+    if name in _PCM_SCALE:
+        return _PCM_SCALE[name], 0.0
+    if name == "uint8":
+        return 1.0 / 128.0, 128.0
+    raise ValueError(f"unsupported wav dtype {name}")
+
+
 def _to_float32(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.float32:
         return data

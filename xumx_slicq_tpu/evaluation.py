@@ -80,10 +80,14 @@ def separate_track_device(separator: Separator, track_dir: Path):
             return jax.device_put(x, separator.device)
         return jnp.asarray(x)
 
-    mix = stage(mix_raw)
-    if mix.dtype == jnp.int16:
-        mix = mix.astype(jnp.float32) * (1.0 / 32768.0)
-    mix = mix.astype(jnp.float32)
+    from .data import pcm_scale_info
+
+    scale, offset = pcm_scale_info(mix_raw.dtype)  # raises on unsupported
+    mix = stage(mix_raw).astype(jnp.float32)
+    if offset:
+        mix = mix - np.float32(offset)
+    if scale != 1.0:
+        mix = mix * np.float32(scale)
     if mix.shape[0] == 1:
         mix = jnp.repeat(mix, 2, axis=0)
     mix = mix[None, :2]                                   # (1, C, N)

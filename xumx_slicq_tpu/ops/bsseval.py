@@ -99,8 +99,16 @@ class _BlockedBss:
 
     def _bview(self, p):
         if self.use_jax:
-            idx = np.arange(self.nb)[:, None] * self.Lb + np.arange(self.nfft)
-            return p[:, idx]
+            import jax.numpy as jnp
+
+            # slices/concat instead of a (nb, nfft) gather-index constant
+            # (b-block i = a-block i ++ head of block i+1; last head = margin)
+            a = p[:, : self.nb * self.Lb].reshape(p.shape[0], self.nb, self.Lb)
+            heads = jnp.concatenate(
+                [a[:, 1:, : self.flen], p[:, self.nb * self.Lb:][:, None, :]],
+                axis=1,
+            )
+            return jnp.concatenate([a, heads], axis=-1)
         s0, s1 = p.strides
         return np.lib.stride_tricks.as_strided(
             p, (p.shape[0], self.nb, self.nfft), (s0, self.Lb * s1, s1),
@@ -383,7 +391,6 @@ class DeviceBssEval:
         # (museval semantics: nwin = max((N-window)//hop+1, 1))
         nwin_all = max(Npad // window, 1)
         nsrc = K // nchan
-        bidx = np.arange(nb)[:, None] * Lb + np.arange(nfft)      # b-views
         lags = np.arange(flen)
         lag_mat = lags[:, None] - lags[None, :] + (flen - 1)      # (flen, flen)
         HI = jax.lax.Precision.HIGHEST
@@ -424,10 +431,21 @@ class DeviceBssEval:
             projections ring out flen-1 samples past it and must not leak
             into a partial window. Returns 7 (nsrc, nwin_all) f32 energy
             arrays."""
+            def bview(p, a):
+                # b-block i = a-block i ++ first flen samples of block i+1
+                # (last head = the flen-sample margin). Pure slices/concat:
+                # the former (nb, nfft) int64 gather table cost ~90-150 MB
+                # of baked index constants per compiled shape bucket.
+                heads = jnp.concatenate(
+                    [a[:, 1:, :flen], p[:, Npad: Npad + flen][:, None, :]], axis=1
+                )
+                return jnp.concatenate([a, heads], axis=-1)       # (K, nb, nfft)
+
             aR = R[:, :Npad].reshape(K, nb, Lb)
+            aE = E_[:, :Npad].reshape(K, nb, Lb)
             FA = jnp.fft.rfft(aR, nfft)                           # (K, nb, F)
-            FBr = jnp.fft.rfft(R[:, bidx], nfft)
-            FBe = jnp.fft.rfft(E_[:, bidx], nfft)
+            FBr = jnp.fft.rfft(bview(R, aR), nfft)
+            FBe = jnp.fft.rfft(bview(E_, aE), nfft)
             CA = jnp.conj(FA)
             r_rr = jnp.fft.irfft(ein("knf,lnf->klf", CA, FBr), nfft)[..., :flen]
             r_re = jnp.fft.irfft(ein("knf,lnf->klf", CA, FBe), nfft)[..., :flen]
@@ -470,16 +488,25 @@ class DeviceBssEval:
 
     def __call__(self, reference_sources, estimated_sources):
         """reference_sources/estimated_sources: (nsrc, nsampl, nchan), numpy
-        or device arrays, f32/int16 (int16 is scaled by 1/32768 on device —
-        lossless staging for PCM_16 sources at half the transfer bytes).
-        Returns dict metric -> (nsrc, nwin) float64, museval semantics."""
+        or device arrays, float or raw PCM ints (ints are normalized by the
+        wav full-scale on device — lossless staging for PCM sources at a
+        fraction of the transfer bytes; unsupported dtypes raise, matching
+        the host loader). Returns dict metric -> (nsrc, nwin) float64,
+        museval semantics."""
         import jax.numpy as jnp
 
+        from ..data import pcm_scale_info
+
         def flatten(x):
-            x = jnp.asarray(x)
-            if x.dtype == jnp.int16:
-                x = x.astype(jnp.float32) * (1.0 / 32768.0)
-            x = x.astype(jnp.float32)
+            # dtype check BEFORE jnp.asarray: jax silently downcasts int64
+            # to int32, which would both mask the unsupported dtype and
+            # apply the wrong full-scale
+            scale, offset = pcm_scale_info(np.dtype(x.dtype))
+            x = jnp.asarray(x).astype(jnp.float32)
+            if offset:
+                x = x - np.float32(offset)
+            if scale != 1.0:
+                x = x * np.float32(scale)
             nsrc, N, nchan = x.shape
             return x.transpose(0, 2, 1).reshape(nsrc * nchan, N), N, nchan
 
@@ -622,9 +649,12 @@ def eval_track_device(
     ests = jnp.stack([jnp.asarray(estimates[t]) for t in targets])
     scores = engine(refs, ests)
     if not all(np.all(np.isfinite(v)) for v in scores.values()):
+        from ..data import pcm_scale_info
+
         def to_host(x):
-            a = np.asarray(x, np.float64)
-            return a / 32768.0 if np.asarray(x).dtype == np.int16 else a
+            scale, offset = pcm_scale_info(x.dtype)  # dtype read, no fetch
+            a = np.asarray(x, np.float64)            # single device fetch
+            return (a - offset) * scale if (offset or scale != 1.0) else a
 
         refs_h = {t: to_host(references[t]) for t in targets}
         ests_h = {t: to_host(ests[i]) for i, t in enumerate(targets)}

@@ -154,16 +154,17 @@ class Separator:
 
     _CHUNK_BATCH_BUCKETS = (1, 2, 4, 8)
 
-    def _forward_mesh_single(self, audio: np.ndarray, chunk: int, nchunks: int) -> np.ndarray:
-        """One track over the mesh: the chunk axis is sharded across
-        devices; weights are replicated so the jitted pipeline partitions
-        with no cross-chip collectives. Tracks longer than the largest
-        chunk bucket run in multiple full-mesh WAVES (cap = largest bucket
-        x n_dev chunks per device call) instead of falling back to a
+    def _wave_dispatch(self, chunk: int, nchunks: int, stage):
+        """The single wave/bucket dispatch loop shared by the host-staged
+        mesh path and the device-resident path: tracks longer than the
+        largest chunk bucket run in multiple full-mesh WAVES (cap = largest
+        bucket x n_dev chunks per device call) instead of falling back to a
         single-device loop — the multi-chip analogue of the reference's
-        sequential chunk loop (separator.py:147-158)."""
-        _, C, N = audio.shape
-        n_dev = self.mesh.devices.size
+        sequential chunk loop (separator.py:147-158). `stage(ci, take, nb)`
+        returns the (nb, C, chunk) block for chunks [ci, ci+take) placed
+        however the caller needs. Returns per-wave (4, take, C, chunk)
+        device arrays."""
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         cap = self._CHUNK_BATCH_BUCKETS[-1] * n_dev
         fn = self._chunk_fn(chunk)
         parts = []
@@ -171,16 +172,26 @@ class Separator:
         while ci < nchunks:
             take = min(nchunks - ci, cap)
             bucket = next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= take)
-            nb = n_dev * bucket
+            blk = stage(ci, take, bucket * n_dev)
+            parts.append(fn(self.params, self.batch_stats, blk)[:, :take])
+            ci += take
+        return parts
+
+    def _forward_mesh_single(self, audio: np.ndarray, chunk: int, nchunks: int) -> np.ndarray:
+        """One track over the mesh: the chunk axis is sharded across
+        devices; weights are replicated so the jitted pipeline partitions
+        with no cross-chip collectives."""
+        _, C, N = audio.shape
+
+        def stage(ci, take, nb):
             flat = np.zeros((nb, C, chunk), audio.dtype)
             for k in range(take):
                 lo = (ci + k) * chunk
                 hi = min(lo + chunk, N)
                 flat[k, :, : hi - lo] = audio[0, :, lo:hi]
-            a = jax.device_put(flat, self._data_sharding)
-            est = np.asarray(fn(self.params, self.batch_stats, a))  # (4, nb, C, chunk)
-            parts.append(est[:, :take])
-            ci += take
+            return jax.device_put(flat, self._data_sharding)
+
+        parts = [np.asarray(p) for p in self._wave_dispatch(chunk, nchunks, stage)]
         est = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         est = est.transpose(0, 2, 1, 3)                             # (4, C, nchunks, chunk)
         return est.reshape(4, 1, C, nchunks * chunk)[..., :N]
@@ -255,23 +266,17 @@ class Separator:
             raise ValueError("forward_device is single-track (B == 1)")
         chunk = min(self.chunk_size, max(N, self.slicqt.sllen // 2 + 1))
         nchunks = -(-N // chunk)
-        fn = self._chunk_fn(chunk)
 
         a = jnp.pad(audio[0], ((0, 0), (0, nchunks * chunk - N)))
         a = a.reshape(C, nchunks, chunk).swapaxes(0, 1)     # (nchunks, C, chunk)
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        cap = self._CHUNK_BATCH_BUCKETS[-1] * n_dev
-        parts = []
-        ci = 0
-        while ci < nchunks:
-            take = min(nchunks - ci, cap)
-            bucket = next(b for b in self._CHUNK_BATCH_BUCKETS if b * n_dev >= take)
-            nb = bucket * n_dev
+
+        def stage(ci, take, nb):
             blk = jnp.pad(a[ci: ci + take], ((0, nb - take), (0, 0), (0, 0)))
             if self.mesh is not None:
                 blk = jax.device_put(blk, self._data_sharding)
-            parts.append(fn(self.params, self.batch_stats, blk)[:, :take])
-            ci += take
+            return blk
+
+        parts = self._wave_dispatch(chunk, nchunks, stage)
         est = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         est = jnp.swapaxes(est, 1, 2).reshape(4, C, nchunks * chunk)[..., :N]
         return est[:, None]                                  # (4, 1, C, N)
