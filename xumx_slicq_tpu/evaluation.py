@@ -293,6 +293,19 @@ def evaluation_main(argv=None):
                 json.dump([track_scores_to_json(t) for t in done], f)
 
     sep_fn = score_fn = None
+    if not args.device_resident and not args.bss_on_device:
+        from .utils.runtime import device_platform
+
+        if device_platform() not in ("cpu",):
+            import sys
+
+            print(
+                "hint: --device-resident scores whole tracks on-chip "
+                "(measured ~10x faster than host BSS-eval at ~0.01 dB "
+                "difference; automatic float64 fallback on non-finite "
+                "scores)",
+                file=sys.stderr,
+            )
     if args.device_resident:
         engine = DeviceBssEval()
         sep_fn = separate_track_device
