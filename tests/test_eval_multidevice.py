@@ -120,6 +120,43 @@ def test_evaluation_device_resident(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluation_device_resident_multidevice(tmp_path):
+    """The fastest path composed: --device-resident AND --devices 4 —
+    per-device separator clones stage tracks to their own device and the
+    shared DeviceBssEval core executes on each track's device; scores must
+    match the single-device device-resident run."""
+    assert jax.device_count() >= 4
+    rng = np.random.default_rng(7)
+    for name in ["s1", "s2", "s3", "s4"]:
+        d = tmp_path / "musdb" / "test" / name
+        d.mkdir(parents=True)
+        stems = {s: (rng.standard_normal((2, 25000)) * 0.2).astype(np.float32) for s in D.SOURCES}
+        D.save_audio(d / "mixture.wav", sum(stems.values()), 44100)
+        for s, a in stems.items():
+            D.save_audio(d / f"{s}.wav", a, 44100)
+
+    md = tmp_path / "model"
+    md.mkdir()
+    args = dict(fscale="mel", fbins=12, fmin=200.0, sample_rate=44100.0, seq_dur=0.3,
+                nb_channels=2, realtime=False, lstm=False)
+    (md / "xumx_slicq_tpu.json").write_text(json.dumps({"args": args}))
+    t = SliCQT(scale="mel", fbins=12, fmin=200.0)
+    m = Unmix(t.block_shapes(1, 2, int(0.3 * 44100)))
+    params, stats = m.init(jax.random.PRNGKey(0))
+    save_model_weights(md, params, stats)
+
+    base = ["--musdb-root", str(tmp_path / "musdb"), "--model-path", str(md),
+            "--runtime-backend", "jax-cpu", "--chunk-size", "30000",
+            "--device-resident"]
+    single = evaluation_main(base)
+    multi = evaluation_main(base + ["--devices", "4"])
+    assert len(multi.tracks) == 4
+    a1, a4 = single.agg_frames_tracks_scores(), multi.agg_frames_tracks_scores()
+    for tgt in a1:
+        assert abs(a1[tgt]["SDR"] - a4[tgt]["SDR"]) < 1e-3
+
+
+@pytest.mark.slow
 def test_evaluation_round_robin_devices(tmp_path):
     assert jax.device_count() >= 4
     rng = np.random.default_rng(0)
