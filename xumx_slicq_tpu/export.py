@@ -51,9 +51,16 @@ def export_model(model_path: str, output_dir: str, chunk_lens=(44100, 441000, 26
     manifest = load_manifest(model_path)
     args = manifest["args"]
     slicqt = SliCQT(scale=args["fscale"], fbins=args["fbins"], fmin=args["fmin"],
+                    fgamma=args.get("fgamma", 0.0),
                     fs=args.get("sample_rate", 44100.0))
     shapes = slicqt.block_shapes(batch, args.get("nb_channels", 2), int(args.get("seq_dur", 2.0) * slicqt.fs))
-    model = Unmix(shapes, realtime=args.get("realtime", False), lstm=args.get("lstm", False))
+    # the full architecture geometry from the manifest: a vqlog fgamma or a
+    # tuning-trial hidden size silently defaulting would rebuild a model
+    # whose parameter shapes do not match the checkpoint
+    model = Unmix(shapes, realtime=args.get("realtime", False), lstm=args.get("lstm", False),
+                  hidden_size_1=args.get("hidden_size_1", 50),
+                  hidden_size_2=args.get("hidden_size_2", 51),
+                  time_filter_2=args.get("time_filter_2", 4))
     params, batch_stats = load_model_weights(model_path, model, len(shapes))
 
     exported = []

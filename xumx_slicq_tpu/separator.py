@@ -342,6 +342,7 @@ class Separator:
             scale=args["fscale"],
             fbins=args["fbins"],
             fmin=args["fmin"],
+            fgamma=args.get("fgamma", 0.0),
             fs=args.get("sample_rate", 44100.0),
         )
         seq_dur = args.get("seq_dur", 2.0)
@@ -356,7 +357,10 @@ class Separator:
                 f"declares realtime={args['realtime']} (weights define the variant)",
                 file=sys.stderr,
             )
-        model = Unmix(shapes, realtime=manifest_realtime, lstm=args.get("lstm", False))
+        model = Unmix(shapes, realtime=manifest_realtime, lstm=args.get("lstm", False),
+                      hidden_size_1=args.get("hidden_size_1", 50),
+                      hidden_size_2=args.get("hidden_size_2", 51),
+                      time_filter_2=args.get("time_filter_2", 4))
 
         params, batch_stats = load_model_weights(model_path, model, len(shapes))
 

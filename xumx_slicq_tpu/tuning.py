@@ -149,7 +149,10 @@ def tuning_main(argv=None):
         if t.get("intermediate"):
             pruner.report_trial({int(k): v for k, v in t["intermediate"].items()})
 
-    best = min((t for t in trials if not t.get("pruned")), key=lambda t: t["value"], default=None)
+    best = min(
+        (t for t in trials if not t.get("pruned") and "value" in t),
+        key=lambda t: t["value"], default=None,
+    )
     for i in range(len(trials), args.n_trials):
         params = sample_params(rng)
         t0 = time.time()
@@ -158,6 +161,9 @@ def tuning_main(argv=None):
         except (RuntimeError, ValueError) as e:  # mirror optuna.py:215-218
             print(f"trial {i} failed: {e}")
             trials.append({"id": i, "params": params, "error": str(e)})
+            # persist the failure record too: without this, a crash before
+            # the next success loses it, and resume re-runs the trial id
+            study_file.write_text(json.dumps({"trials": trials, "best": best}, indent=2))
             continue
         rec = {"id": i, "params": params, "value": value, "pruned": pruned,
                "intermediate": intermediate, "seconds": time.time() - t0}
@@ -166,8 +172,9 @@ def tuning_main(argv=None):
             best = rec
         study_file.write_text(json.dumps({"trials": trials, "best": best}, indent=2))
         status = "PRUNED" if pruned else "done"
-        print(f"trial {i} {status}: value={value:.5f} params={params} "
-              f"(best={best['value']:.5f} @ {best['params']})")
+        best_str = (f"best={best['value']:.5f} @ {best['params']}"
+                    if best is not None else "best=n/a (all trials pruned)")
+        print(f"trial {i} {status}: value={value:.5f} params={params} ({best_str})")
 
     print_study(study_file)
     return best

@@ -27,7 +27,6 @@ def overlap_add_slicq(slicq: np.ndarray, flatten: bool = False) -> np.ndarray:
     ncoefs = nb_slices * hop + hop
     out = np.zeros((nb_channels, nb_f_bins, ncoefs), dtype=slicq.dtype)
     # even/odd interleave: slice i contributes at offset i*hop
-    first = slicq.reshape(nb_channels, nb_f_bins, -1)  # back-to-back halves
     halves = slicq.reshape(nb_channels, nb_f_bins, nb_slices, 2, hop)
     out[..., : nb_slices * hop] += halves[..., 0, :].reshape(nb_channels, nb_f_bins, -1)
     out[..., hop: nb_slices * hop + hop] += halves[..., 1, :].reshape(nb_channels, nb_f_bins, -1)
@@ -110,8 +109,10 @@ def visualization_main(argv=None):
         n_freqs = c.shape[1]
         out = os.path.join(args.output_dir,
                            f"spectrogram-{os.path.basename(args.input_wav)}-block-{i}.png")
+        # coef_factors is per FREQUENCY (one entry per bin); all bins of a
+        # bucket share M, so the bucket's factor is its first bin's
         blockwise_spectrogram(
-            c, args.sr, coef_factors[i], freqs[freq_idx: freq_idx + n_freqs],
+            c, args.sr, coef_factors[freq_idx], freqs[freq_idx: freq_idx + n_freqs],
             signal.shape[-1], out, f"Magnitude sliCQT, block {i} ({params_str})",
             flatten=args.flatten, fontsize=args.fontsize, cmap=args.cmap,
         )
