@@ -76,7 +76,9 @@ def load_config(yaml_path: str = None, overrides: dict = None) -> SimpleNamespac
             else:
                 dst[k] = v
 
-    if yaml_path and Path(yaml_path).exists():
+    if yaml_path:
+        if not Path(yaml_path).exists():
+            raise FileNotFoundError(f"config file not found: {yaml_path}")
         with open(yaml_path) as f:
             merge(cfg, yaml.safe_load(f) or {})
     if overrides:

@@ -178,12 +178,13 @@ def enhance(config) -> None:
 
         if prev_song != song_name:
             prev_song = song_name
-            from scipy.io import wavfile
+            from xumx_slicq_tpu.data import load_audio
 
-            sr, mixture = wavfile.read(Path(config.path.music_dir) / split_dir / song_name / "mixture.wav")
-            if mixture.dtype != np.float32:
-                mixture = (mixture / 32768.0).astype(np.float32)
-            mixture = mixture.T
+            # load_audio handles every PCM dtype (int16/int32/uint8/float)
+            # with the correct full-scale, unlike a bare /32768
+            mixture, sr = load_audio(
+                Path(config.path.music_dir) / split_dir / song_name / "mixture.wav"
+            )
             assert sr == config.sample_rate
             stems = decompose_signal(separator, mixture, sr, sources_order)
 

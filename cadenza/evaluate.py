@@ -16,7 +16,6 @@ import logging
 from pathlib import Path
 
 import numpy as np
-from scipy.io import wavfile
 
 from .config import load_config
 from .enhance import make_song_listener_list
@@ -53,9 +52,11 @@ def set_song_seed(song: str) -> None:
 
 
 def _read_wav_float(path: Path):
-    sr, x = wavfile.read(str(path))
-    if x.dtype == np.int16:
-        x = x / 32768.0
+    """Read a wav in any PCM dtype -> (sr, float64 (samples,) or (samples, C))."""
+    from xumx_slicq_tpu.data import load_audio
+
+    x, sr = load_audio(str(path))  # (C, samples) float32, full-scale correct
+    x = x[0] if x.shape[0] == 1 else x.T
     return sr, np.asarray(x, np.float64)
 
 
@@ -74,7 +75,9 @@ def evaluate_stems_for_listener(
         "left": np.array(listener_info["audiogram_levels_l"]),
         "right": np.array(listener_info["audiogram_levels_r"]),
     }
-    enhancer = NALR(nfir=config.nalr.nfir, fs=config.sample_rate)
+    # fs must match enhance.py's NALR so the evaluation reference carries
+    # the same prescription filter the processed stems were built with
+    enhancer = NALR(nfir=config.nalr.nfir, fs=config.nalr.fs)
 
     scores = {}
     for source in ["bass", "vocals", "other", "drums"]:

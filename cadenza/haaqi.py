@@ -213,11 +213,13 @@ def melcor9(ref_seg, proc_seg, threshold=2.5, segment_ms=8.0):
     modulation-rate bands, and correlates reference vs processed.
     Returns (ave, low, high) correlations (low = bands 0-3, high = 4-7)."""
     nbands, nseg = ref_seg.shape
-    if nseg < 8:
+    # >=16 segments required: sosfiltfilt's default padlen for the 2nd-order
+    # bandpass sections below is 15, so 8..15 active segments would crash
+    if nseg < 16:
         return 0.0, 0.0, 0.0
     # silence removal based on reference level
     active = ref_seg.max(0) > threshold
-    if active.sum() < 8:
+    if active.sum() < 16:
         return 0.0, 0.0, 0.0
     r = ref_seg[:, active]
     p = proc_seg[:, active]

@@ -76,12 +76,12 @@ def run_test(config) -> None:
 
         if prev_song != song:
             prev_song = song
-            from scipy.io import wavfile
+            from xumx_slicq_tpu.data import load_audio
 
-            sr, mixture = wavfile.read(Path(config.path.music_dir) / split_dir / song / "mixture.wav")
-            if mixture.dtype != np.float32:
-                mixture = (mixture / 32768.0).astype(np.float32)
-            mixture = mixture.T
+            # load_audio handles every PCM dtype with the correct full-scale
+            mixture, sr = load_audio(
+                Path(config.path.music_dir) / split_dir / song / "mixture.wav"
+            )
             # the test protocol scores a fixed segment per song
             if song in segments:
                 lo = int(segments[song]["start"] * sr)

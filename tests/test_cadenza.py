@@ -44,6 +44,35 @@ def test_compressor_reduces_loud_passages():
     out, rms, gains = comp.process(sig)
     assert gains[fs + fs // 2] < 1.0
     assert np.max(np.abs(out[fs:])) < np.max(np.abs(sig[fs:]))
+    # attenuation participates: a softer slope (attenuation=0.5) must leave
+    # more level through than the near-limiter (attenuation=0.001)
+    hard = Compressor(fs=fs, threshold=0.35, attenuation=0.001, attack=50,
+                      release=1000, rms_buffer_size=0.064)
+    out_hard, _, _ = hard.process(sig)
+    soft = Compressor(fs=fs, threshold=0.35, attenuation=0.5, attack=50,
+                      release=1000, rms_buffer_size=0.064)
+    out_soft, _, _ = soft.process(sig)
+    rms_tail = lambda x: np.sqrt(np.mean(x[-fs // 2:] ** 2))
+    assert rms_tail(out_hard) < rms_tail(out_soft) < rms_tail(sig)
+
+
+def test_compressor_gain_scan_matches_naive_loop():
+    """The blockwise closed-form switched one-pole must equal the per-sample
+    recurrence g[i] = (1-c[i])*g[i-1] + c[i]*t[i] to float64 precision,
+    including across block boundaries and for fast (large-coef) attacks."""
+    from cadenza.signal_processing import _switched_one_pole
+
+    rng = np.random.default_rng(0)
+    n = 2000  # > 3 blocks of 512
+    coef = np.where(rng.random(n) > 0.5, 0.6, 1e-4)  # fast attack / slow release
+    target = rng.uniform(0.05, 1.0, n)
+    got = _switched_one_pole(coef, target)
+    g = 1.0
+    want = np.empty(n)
+    for i in range(n):
+        g = (1.0 - coef[i]) * g + coef[i] * target[i]
+        want[i] = g
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
 def test_clip_and_16bit():

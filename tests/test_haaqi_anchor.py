@@ -187,3 +187,16 @@ def test_hearing_loss_does_not_raise_identity_score():
     s_impaired = haaqi_v1(sig, FS, sig, FS, MODERATE)
     assert s_normal > 0.85
     assert s_impaired <= s_normal + 1e-6
+
+
+def test_melcor9_short_input_returns_zero_instead_of_crashing():
+    """8..15 active segments used to crash sosfiltfilt (default padlen 15
+    for the 2nd-order bandpass sections); the guard must return zeros."""
+    rng = np.random.default_rng(0)
+    for nseg in (7, 8, 12, 15):
+        seg = 30.0 + rng.standard_normal((32, nseg))
+        assert melcor9(seg, seg.copy()) == (0.0, 0.0, 0.0)
+    # 16 segments is the first length that actually filters
+    seg = 30.0 + rng.standard_normal((32, 16))
+    ave, low, high = melcor9(seg, seg.copy())
+    assert ave == pytest.approx(1.0, abs=1e-6)

@@ -118,3 +118,36 @@ def test_evaluation_plumbing(tmp_path):
 
     merged = merge_results([out_json])
     assert len(merged.tracks) == 2
+
+
+def test_demixui_live_gain_mutation():
+    """stream_demix re-reads the mutable gains each chunk, so a keypress
+    between chunks changes the mix from the next chunk on; apply_key maps
+    b/B v/V o/O d/D to the stem order and clips to [0, 2]."""
+    from xumx_slicq_tpu.demixui import STEMS, apply_key, stream_demix
+
+    class FakeSeparator:
+        sample_rate = 100
+
+        def __call__(self, seg):
+            # stem k separates to constant k+1 over the chunk
+            n = seg.shape[-1]
+            return np.arange(1, 5, dtype=np.float32)[:, None, None, None] * np.ones(
+                (4, 1, 1, n), np.float32)
+
+    audio = np.zeros((1, 1, 300), np.float32)
+    gains = [1.0, 1.0, 1.0, 1.0]
+    chunks = []
+    for remix, levels in stream_demix(FakeSeparator(), audio, gains, chunk_seconds=1.0):
+        chunks.append(float(remix[0, 0, 0]))
+        assert apply_key("v", gains)  # vocals (index 1) down 0.1 per chunk
+    assert chunks[0] == pytest.approx(1 + 2 + 3 + 4)
+    assert chunks[1] == pytest.approx(1 + 2 * 0.9 + 3 + 4)
+    assert chunks[2] == pytest.approx(1 + 2 * 0.8 + 3 + 4)
+
+    assert list(STEMS) == ["bass", "vocals", "other", "drums"]
+    g = [0.0, 2.0, 1.0, 1.0]
+    apply_key("b", g)   # clipped at 0
+    apply_key("V", g)   # clipped at 2
+    assert g[:2] == [0.0, 2.0]
+    assert not apply_key("q", g)
