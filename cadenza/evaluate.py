@@ -20,7 +20,7 @@ import numpy as np
 from .config import load_config
 from .enhance import make_song_listener_list
 from .haaqi import compute_haaqi
-from .signal_processing import NALR, resample
+from .signal_processing import resample
 
 logger = logging.getLogger(__name__)
 
@@ -75,10 +75,6 @@ def evaluate_stems_for_listener(
         "left": np.array(listener_info["audiogram_levels_l"]),
         "right": np.array(listener_info["audiogram_levels_r"]),
     }
-    # fs must match enhance.py's NALR so the evaluation reference carries
-    # the same prescription filter the processed stems were built with
-    enhancer = NALR(nfir=config.nalr.nfir, fs=config.nalr.fs)
-
     scores = {}
     for source in ["bass", "vocals", "other", "drums"]:
         sr_ref, ref = _read_wav_float(music_dir / split_dir / song / f"{source}.wav")
@@ -91,10 +87,11 @@ def evaluate_stems_for_listener(
             if scale_file.exists():
                 proc = proc * float(scale_file.read_text())
 
-            # reference for HAAQI: NAL-R-processed clean stem at stem rate
-            fir, _ = enhancer.build(audiograms[ear], cfs)
-            ref_ear = np.convolve(ref[:, i], fir, mode="full")
-            ref_ear = resample(ref_ear, sr_ref, config.stem_sample_rate, axis=0)
+            # reference for HAAQI: the RAW clean stem at stem rate — with
+            # equalisation=1 the ear model applies NAL-R to the reference
+            # internally (reference evaluate.py:171-212 passes the
+            # unprocessed stem to clarity's compute_haaqi the same way)
+            ref_ear = resample(ref[:, i], sr_ref, config.stem_sample_rate, axis=0)
 
             scores[f"{ear}_{source}"] = compute_haaqi(
                 proc, ref_ear, sr_proc, config.stem_sample_rate,

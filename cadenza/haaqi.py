@@ -9,9 +9,14 @@ papers (Kates & Arehart 2016; Kates 2013 auditory-model framework):
   1. resample both signals to 24 kHz and align the processed signal;
   2. middle-ear bandpass;
   3. 32-band gammatone filterbank (ERB-spaced 80..8000 Hz) with
-     hearing-loss-dependent bandwidth broadening;
-  4. OHC/IHC attenuation split from the audiogram, compressive loudness
-     mapping to dB SL envelopes + basilar-membrane vibration outputs;
+     hearing-loss-dependent bandwidth broadening; BOTH signals pass
+     through the impaired ear (with equalisation=1 the reference is
+     NAL-R-amplified internally, matching the prescription the processed
+     signal carries externally in the CAD1 recipe);
+  4. OHC/IHC attenuation split from the audiogram: OHC loss attenuates
+     before the compressive loudness mapping (and reduces its ratio),
+     IHC loss shifts the dB SL output after it; basilar-membrane
+     vibration outputs share the band's compressive gain;
   5. features: 8 ms smoothed envelopes -> mel-cepstral modulation
      correlations (melcor9: low/high modulation bands), long-term spectral
      loudness/slope differences, windowed basilar-membrane vibration
@@ -40,8 +45,10 @@ verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
         (e.g. Q(0.5, 0.5, 0.5, 0.5) = 0.13739) and at the extremes
         (perfect features -> 0.999, all-zero -> 0);
   * end-to-end invariants: normal-hearing identity haaqi(x, x) > 0.85;
-    scores decrease strictly monotonically with additive-noise level and
-    degrade under hearing loss;
+    an ideal hearing aid (processed == NAL-R'd reference) scores at the
+    identity ceiling for an impaired listener; scores decrease strictly
+    monotonically with additive-noise level (NAL-R'd, in-protocol) and
+    unaided signals degrade under hearing loss;
   * separation-like degradations (stem + bleed) under CAD1-style impaired
     audiograms score inside the support of the reference's published
     700-pair distribution (.github/cadenza-results/scores.csv: per-stem
@@ -111,14 +118,36 @@ def _audiogram_at(cfs, audiogram_freqs, audiogram_levels):
     return np.interp(cfs, audiogram_freqs, audiogram_levels, left=audiogram_levels[0], right=audiogram_levels[-1])
 
 
-def ear_model(reference, processed, hearing_loss, audiogram_freqs=AUDIOMETRIC_FREQS, level1=65.0, fs_in=FS_MODEL):
+def _nalr_equalize(signal, hearing_loss, audiogram_freqs, fs=FS_MODEL, nfir=220):
+    """Apply the NAL-R prescription for `hearing_loss` to `signal`
+    (delay-compensated linear-phase FIR), as the ear model does internally
+    for the reference when equalisation=1."""
+    from .signal_processing import NALR
+
+    fir, delay = NALR(nfir=nfir, fs=fs).build(
+        np.asarray(hearing_loss, np.float64), np.asarray(audiogram_freqs, np.float64)
+    )
+    out = np.convolve(signal, fir, mode="full")
+    return out[delay: delay + len(signal)]
+
+
+def ear_model(reference, processed, hearing_loss, audiogram_freqs=AUDIOMETRIC_FREQS, level1=65.0, fs_in=FS_MODEL, equalisation=1):
     """Auditory model for both signals.
 
-    reference is presented to a NORMAL ear, processed to the impaired ear
-    with `hearing_loss` (dB HL at audiogram_freqs) -- the HAAQI convention
-    with equalisation=1 (NAL-R already applied to the processed signal).
+    Both signals pass through the SAME impaired ear (`hearing_loss` in dB HL
+    at audiogram_freqs) — the HAAQI convention (Kates & Arehart 2016): the
+    music quality judgment is made by the impaired listener, so reference
+    and processed are compared through the impaired periphery. With
+    equalisation=1 (the CAD1 recipe) the processed signal already carries
+    the NAL-R prescription externally, and the ear model applies the same
+    NAL-R gain to the reference internally so an ideal hearing aid scores
+    at the identity ceiling.
 
-    Returns (ref_env_db, proc_env_db, ref_bm, proc_bm, ref_sl, proc_sl, fs).
+    Per band: OHC loss broadens the auditory filter, reduces the
+    compression ratio toward linear, and attenuates BEFORE compression;
+    IHC loss attenuates AFTER compression (threshold shift).
+
+    Returns (ref_env_db, proc_env_db, ref_bm, proc_bm, cfs).
     """
     if fs_in != FS_MODEL:
         from math import gcd
@@ -135,6 +164,9 @@ def ear_model(reference, processed, hearing_loss, audiogram_freqs=AUDIOMETRIC_FR
     scale = (20e-6 * 10 ** (level1 / 20.0)) / ref_rms
     reference = reference * scale
     processed = processed * scale
+
+    if equalisation == 1:
+        reference = _nalr_equalize(reference, hearing_loss, audiogram_freqs)
 
     reference = middle_ear(reference)
     processed = middle_ear(processed)
@@ -158,24 +190,22 @@ def ear_model(reference, processed, hearing_loss, audiogram_freqs=AUDIOMETRIC_FR
     cr_normal = 1.25 + 2.25 * np.arange(NUM_BANDS) / (NUM_BANDS - 1)
     cr_impaired = 1.0 + (cr_normal - 1.0) * (1.0 - ohc_loss / 80.0).clip(0.0, 1.0)
 
+    def sl(env_db, cr, ohc_attn, ihc_attn):
+        # OHC attenuation precedes the compressive nonlinearity; the IHC
+        # attenuation shifts the output (dB SL) after compression
+        out = (env_db - ohc_attn) / cr - ihc_attn
+        return np.maximum(out, 0.0)
+
     for k in range(NUM_BANDS):
-        env_r, bm_r = gammatone_env_bm(reference, cfs[k], 1.0)
+        env_r, bm_r = gammatone_env_bm(reference, cfs[k], bw_broaden[k])
         env_p, bm_p = gammatone_env_bm(processed, cfs[k], bw_broaden[k])
 
         # envelope in dB SPL re 20 uPa
         env_r_db = 20 * np.log10(np.maximum(env_r, small) / 20e-6)
         env_p_db = 20 * np.log10(np.maximum(env_p, small) / 20e-6)
 
-        # compressive loudness mapping to dB SL above threshold
-        thr_normal = 0.0
-        thr_impaired = ihc_loss[k]
-
-        def sl(env_db, cr, attn, thr):
-            out = (env_db - attn - thr) / cr
-            return np.maximum(out, 0.0)
-
-        ref_env_db[k] = sl(env_r_db, cr_normal[k], 0.0, thr_normal)
-        proc_env_db[k] = sl(env_p_db, cr_impaired[k], ohc_loss[k] * 0 + ihc_loss[k], thr_normal)
+        ref_env_db[k] = sl(env_r_db, cr_impaired[k], ohc_loss[k], ihc_loss[k])
+        proc_env_db[k] = sl(env_p_db, cr_impaired[k], ohc_loss[k], ihc_loss[k])
 
         # BM vibration scaled by the same compressive gain
         gain_r = 10 ** ((ref_env_db[k] - env_r_db) / 20.0)
@@ -350,7 +380,8 @@ def haaqi_v1(reference, ref_fs, processed, proc_fs, hearing_loss, equalisation=1
         return 0.0
 
     ref_env, proc_env, ref_bm, proc_bm, _ = ear_model(
-        ref, proc, hearing_loss, audiogram_freqs, level1=level1, fs_in=FS_MODEL
+        ref, proc, hearing_loss, audiogram_freqs, level1=level1, fs_in=FS_MODEL,
+        equalisation=equalisation,
     )
 
     ref_seg = env_smooth(ref_env)
@@ -365,7 +396,14 @@ def haaqi_v1(reference, ref_fs, processed, proc_fs, hearing_loss, equalisation=1
 
 def compute_haaqi(processed_signal, reference_signal, processed_sample_rate, reference_sample_rate, audiogram, audiogram_frequencies, level1=65.0):
     """Convenience wrapper with the clarity-style argument order used by the
-    reference recipe (cadenza/evaluate.py)."""
+    reference recipe (cadenza/evaluate.py).
+
+    level1 convention: this implementation normalizes the reference RMS to
+    level1 dB SPL internally, so pass the presentation level directly
+    (65.0). clarity instead treats RMS=1 as level1 dB SPL, which is why
+    the reference recipe passes 65 - 20*log10(rms) there
+    (reference evaluate.py:205-222) — do NOT replicate that compensation
+    here."""
     return haaqi_v1(
         reference_signal, reference_sample_rate,
         processed_signal, processed_sample_rate,

@@ -149,7 +149,12 @@ def test_combination_model_published_coefficients():
 
 def test_monotonic_under_increasing_noise():
     """Scores must decrease strictly as additive noise grows (for both
-    normal and impaired listeners)."""
+    normal and impaired listeners). Per the CAD1 protocol the processed
+    signal carries the listener's NAL-R prescription (equalisation=1);
+    an unamplified signal under an impaired audiogram is out-of-protocol
+    and sits at the score floor where ordering is noise."""
+    from cadenza.haaqi import _nalr_equalize
+
     sig = _music(0)
     rng = np.random.default_rng(1)
     noise = rng.standard_normal(len(sig))
@@ -159,6 +164,7 @@ def test_monotonic_under_increasing_noise():
         for snr_db in (30.0, 10.0, 0.0, -10.0):
             n_rms = sig_rms / 10 ** (snr_db / 20.0)
             proc = sig + noise / np.sqrt(np.mean(noise ** 2)) * n_rms
+            proc = _nalr_equalize(proc, audiogram, CFS, fs=FS)
             scores.append(haaqi_v1(sig, FS, proc, FS, audiogram))
         assert all(0.0 <= s <= 1.0 for s in scores)
         assert all(a > b for a, b in zip(scores, scores[1:])), (audiogram, scores)
@@ -200,3 +206,21 @@ def test_melcor9_short_input_returns_zero_instead_of_crashing():
     seg = 30.0 + rng.standard_normal((32, 16))
     ave, low, high = melcor9(seg, seg.copy())
     assert ave == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ideal_hearing_aid_scores_at_identity_ceiling():
+    """The HAAQI convention (Kates & Arehart 2016): BOTH signals pass
+    through the impaired ear, and with equalisation=1 the reference is
+    NAL-R-amplified internally. An ideal hearing aid — processed equal to
+    the NAL-R'd reference — must therefore score at the identity ceiling
+    for an impaired listener, while the unaided signal scores far lower.
+    (The pre-fix model ran the reference through a NORMAL ear, which made
+    this ceiling unreachable under hearing loss.)"""
+    from cadenza.haaqi import _nalr_equalize
+
+    sig = _music(0)
+    ideal = _nalr_equalize(sig, MODERATE, CFS, fs=FS)
+    s_ideal = haaqi_v1(sig, FS, ideal, FS, MODERATE)
+    s_unaided = haaqi_v1(sig, FS, sig, FS, MODERATE)
+    assert s_ideal > 0.95
+    assert s_unaided < s_ideal - 0.3
