@@ -46,7 +46,11 @@ class ResultsFile:
 
 
 def set_song_seed(song: str) -> None:
-    """Deterministic per-song RNG (reference evaluate.py md5 convention)."""
+    """Deterministic per-song RNG (reference evaluate.py md5 convention).
+
+    Kept for recipe parity and user extensions: clarity's HAAQI draws
+    np.random internally, this re-implementation is fully deterministic,
+    so the seed only affects downstream code that consumes np.random."""
     song_encoded = hashlib.md5(song.encode("utf-8")).hexdigest()
     np.random.seed(int(song_encoded, 16) % (10 ** 8))
 
