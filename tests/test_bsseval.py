@@ -188,3 +188,69 @@ def test_fast_sdr():
     ref = rng.standard_normal((2, 44100))
     assert fast_sdr(ref, ref) > 90
     assert fast_sdr(ref + 0.1 * rng.standard_normal(ref.shape), ref) < 25
+
+
+def test_eval_track_device_rejects_int64():
+    """int64 inputs must raise BEFORE jnp.stack canonicalizes them to int32
+    (which would silently apply the int32 full-scale to int16-magnitude
+    data and produce garbage scores)."""
+    import pytest
+
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval, eval_track_device
+
+    refs = _refs(seed=20, nsrc=2, n=22050)
+    rd = {f"t{i}": (refs[i] * 32767).astype(np.int64) for i in range(2)}
+    ed = {f"t{i}": refs[i].astype(np.float32) for i in range(2)}
+    eng = DeviceBssEval(window=11025, hop=11025, filters_len=128, nb_round=1)
+    with pytest.raises(ValueError, match="int64"):
+        eval_track_device(rd, ed, eng, "x")
+
+
+def test_eval_track_mono_refs():
+    """Mono references vs stereo estimates (mono source tree: the separator
+    repeats the mixture to stereo, refs stay 1-channel) must score, not
+    crash — the mono side broadcasts. Both the host eval_track and the
+    device eval_track_device paths."""
+    from xumx_slicq_tpu.ops.bsseval import DeviceBssEval, eval_track, eval_track_device
+
+    refs = _refs(seed=21, nsrc=2, n=2 * 22050, nchan=1)
+    rd = {f"t{i}": refs[i] for i in range(2)}  # (N, 1)
+    ests = {f"t{i}": np.repeat(refs[i], 2, axis=1).astype(np.float32) for i in range(2)}
+
+    ts = eval_track(rd, ests, "host", window=22050, hop=22050)
+    for t, ms in ts.median_scores().items():
+        assert ms["SDR"] > 100  # perfect (broadcast) estimate
+
+    rd16 = {k: (v * 32767).astype(np.int16) for k, v in rd.items()}
+    e16 = {k: np.repeat(v.astype(np.float32) / 32768.0, 2, axis=1) for k, v in rd16.items()}
+    eng = DeviceBssEval(window=22050, hop=22050, filters_len=128, nb_round=1)
+    td = eval_track_device(rd16, e16, eng, "dev")
+    for t, ms in td.median_scores().items():
+        assert ms["SDR"] > 40
+
+
+def test_apply_pcm_scale_shared_helper():
+    """The single PCM normalization helper: numpy and jax paths agree with
+    the host loader's convention for every supported dtype; int64 raises
+    even via src_dtype when the array was already staged."""
+    import jax.numpy as jnp
+    import pytest
+
+    from xumx_slicq_tpu.data import apply_pcm_scale
+
+    f = np.linspace(-1, 1, 101, dtype=np.float64)
+    for raw, want in [
+        ((f * 32767).astype(np.int16), (f * 32767).astype(np.int16) / 32768.0),
+        ((f * (2**31 - 1)).astype(np.int32), (f * (2**31 - 1)).astype(np.int32) / 2147483648.0),
+        (((f * 127) + 128).astype(np.uint8), (((f * 127) + 128).astype(np.uint8).astype(np.float64) - 128) / 128.0),
+        (f.astype(np.float32), f.astype(np.float32).astype(np.float64)),
+    ]:
+        np.testing.assert_allclose(apply_pcm_scale(raw, np), want, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(apply_pcm_scale(raw, jnp)), want.astype(np.float32), rtol=0, atol=1e-7
+        )
+    with pytest.raises(ValueError, match="int64"):
+        apply_pcm_scale(f.astype(np.int64), np)
+    staged = jnp.asarray(np.zeros(4, np.int64))  # jax downcasts to int32
+    with pytest.raises(ValueError, match="int64"):
+        apply_pcm_scale(staged, jnp, src_dtype=np.int64)

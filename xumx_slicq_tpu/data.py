@@ -82,6 +82,34 @@ def pcm_scale_info(dtype) -> tuple:
     raise ValueError(f"unsupported wav dtype {name}")
 
 
+def apply_pcm_scale(x, xp=np, src_dtype=None):
+    """Normalize a raw-PCM (or already-float) array to float by its wav
+    full-scale: float = (raw - offset) * scale. The one shared
+    implementation behind the host fallback (float64) and the on-device
+    staging paths (float32) — ops/bsseval.py::DeviceBssEval,
+    eval_track_device, evaluation.separate_track_device.
+
+    The dtype is validated BEFORE any array conversion: jax silently
+    downcasts int64 -> int32, which would both mask the unsupported dtype
+    and apply the wrong full-scale. Pass `src_dtype` when `x` has already
+    been staged through jax (staging itself may downcast) so the check and
+    scale come from the source array's dtype."""
+    scale, offset = pcm_scale_info(np.dtype(src_dtype if src_dtype is not None else x.dtype))
+    if xp is np:
+        a = np.asarray(x, np.float64)
+        if offset:
+            a = a - offset
+        if scale != 1.0:
+            a = a * scale
+        return a
+    a = xp.asarray(x).astype(xp.float32)
+    if offset:
+        a = a - np.float32(offset)
+    if scale != 1.0:
+        a = a * np.float32(scale)
+    return a
+
+
 def _to_float32(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.float32:
         return data

@@ -80,14 +80,11 @@ def separate_track_device(separator: Separator, track_dir: Path):
             return jax.device_put(x, separator.device)
         return jnp.asarray(x)
 
-    from .data import pcm_scale_info
+    from .data import apply_pcm_scale
 
-    scale, offset = pcm_scale_info(mix_raw.dtype)  # raises on unsupported
-    mix = stage(mix_raw).astype(jnp.float32)
-    if offset:
-        mix = mix - np.float32(offset)
-    if scale != 1.0:
-        mix = mix * np.float32(scale)
+    # validate + scale via the shared PCM helper; src_dtype comes from the
+    # host array because staging itself may canonicalize the dtype
+    mix = apply_pcm_scale(stage(mix_raw), jnp, src_dtype=mix_raw.dtype)
     if mix.shape[0] == 1:
         mix = jnp.repeat(mix, 2, axis=0)
     mix = mix[None, :2]                                   # (1, C, N)

@@ -182,8 +182,9 @@ def _correlations(refs: np.ndarray, ests: np.ndarray, flen: int, use_jax: bool):
       D[(k,tau), e]        = sum_n refs[k, n-tau] ests[e, n]
     """
     K, N = refs.shape
-    if N > _BLK_NFFT and flen <= _BLK_NFFT // 4:
-        return _BlockedBss(refs, ests, flen, use_jax).correlations()
+    # full-FFT engine only: the blocked overlap-save path for long tracks is
+    # owned by the single gate in bss_eval_images (which also needs the
+    # _BlockedBss plan for the filter applications)
     n2 = _next_pow2(N + flen - 1)
     if use_jax:
         import jax.numpy as jnp
@@ -495,18 +496,10 @@ class DeviceBssEval:
         museval semantics."""
         import jax.numpy as jnp
 
-        from ..data import pcm_scale_info
+        from ..data import apply_pcm_scale
 
         def flatten(x):
-            # dtype check BEFORE jnp.asarray: jax silently downcasts int64
-            # to int32, which would both mask the unsupported dtype and
-            # apply the wrong full-scale
-            scale, offset = pcm_scale_info(np.dtype(x.dtype))
-            x = jnp.asarray(x).astype(jnp.float32)
-            if offset:
-                x = x - np.float32(offset)
-            if scale != 1.0:
-                x = x * np.float32(scale)
+            x = apply_pcm_scale(x, jnp)  # validates dtype before jnp.asarray
             nsrc, N, nchan = x.shape
             return x.transpose(0, 2, 1).reshape(nsrc * nchan, N), N, nchan
 
@@ -624,6 +617,13 @@ def eval_track(
     targets = list(references.keys())
     refs = np.stack([references[t] for t in targets])
     ests = np.stack([estimates[t] for t in targets])
+    # mono refs vs stereo estimates (a mono source tree: the separator
+    # repeats the mixture to stereo, references stay 1-channel): broadcast
+    # the mono side so both flatten to the same src*chan row count
+    if refs.shape[2] == 1 and ests.shape[2] > 1:
+        refs = np.repeat(refs, ests.shape[2], axis=2)
+    elif ests.shape[2] == 1 and refs.shape[2] > 1:
+        ests = np.repeat(ests, refs.shape[2], axis=2)
     n = min(refs.shape[1], ests.shape[1])
     refs, ests = refs[:, :n], ests[:, :n]
     scores = bss_eval_images(refs, ests, window=window, hop=hop, use_jax=use_jax)
@@ -645,19 +645,25 @@ def eval_track_device(
     targets = list(references.keys())
     import jax.numpy as jnp
 
+    from ..data import apply_pcm_scale, pcm_scale_info
+
+    # validate dtypes BEFORE jnp.stack: jax would silently canonicalize
+    # int64 to int32 and the engine would then apply the wrong full-scale
+    for v in list(references.values()) + list(estimates.values()):
+        pcm_scale_info(np.dtype(v.dtype))
     refs = jnp.stack([jnp.asarray(references[t]) for t in targets])
     ests = jnp.stack([jnp.asarray(estimates[t]) for t in targets])
+    # broadcast a mono side to match (same convention as eval_track); the
+    # repeat runs on-device so staged bytes stay halved for mono sources
+    if refs.shape[2] == 1 and ests.shape[2] > 1:
+        refs = jnp.repeat(refs, ests.shape[2], axis=2)
+    elif ests.shape[2] == 1 and refs.shape[2] > 1:
+        ests = jnp.repeat(ests, refs.shape[2], axis=2)
     scores = engine(refs, ests)
     if not all(np.all(np.isfinite(v)) for v in scores.values()):
-        from ..data import pcm_scale_info
-
-        def to_host(x):
-            scale, offset = pcm_scale_info(x.dtype)  # dtype read, no fetch
-            a = np.asarray(x, np.float64)            # single device fetch
-            return (a - offset) * scale if (offset or scale != 1.0) else a
-
-        refs_h = {t: to_host(references[t]) for t in targets}
-        ests_h = {t: to_host(ests[i]) for i, t in enumerate(targets)}
+        # single device fetch per array, then the shared PCM normalization
+        refs_h = {t: apply_pcm_scale(references[t], np) for t in targets}
+        ests_h = {t: apply_pcm_scale(ests[i], np) for i, t in enumerate(targets)}
         return eval_track(refs_h, ests_h, track_name=track_name)
     return TrackScores(
         name=track_name,
