@@ -323,6 +323,7 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False,
     if device_resident:
         # whole-track-on-device path: int16 staging (half the tunnel bytes),
         # estimates never fetched, BSS-eval as one jitted program
+        from xumx_slicq_tpu.data import apply_pcm_scale
         from xumx_slicq_tpu.ops.bsseval import DeviceBssEval, eval_track_device
 
         engine = DeviceBssEval()
@@ -331,7 +332,8 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False,
         def sep_fn(s, stems_i16):  # noqa: F811
             t0 = time.time()
             st = jax.device_put(stems_i16, dev)       # (4, 2, n) int16
-            stf = st.astype(jnp.float32) * (1.0 / 32768.0)
+            # same shared PCM normalization the production eval path uses
+            stf = apply_pcm_scale(st, jnp, src_dtype=stems_i16.dtype)
             np.asarray(checksum(stf[:, :, :8]))       # staging landed
             t_h2d = time.time() - t0
             t0 = time.time()

@@ -82,6 +82,8 @@ def evaluate_stems_for_listener(
     scores = {}
     for source in ["bass", "vocals", "other", "drums"]:
         sr_ref, ref = _read_wav_float(music_dir / split_dir / song / f"{source}.wav")
+        if ref.ndim == 1:  # mono stem: the same clean reference serves both ears
+            ref = ref[:, None]
         for i, ear in enumerate(["left", "right"]):
             stem_path = (enhanced_dir / listener_name / song /
                          f"{listener_name}_{song}_{ear}_{source}.wav")
@@ -95,7 +97,9 @@ def evaluate_stems_for_listener(
             # equalisation=1 the ear model applies NAL-R to the reference
             # internally (reference evaluate.py:171-212 passes the
             # unprocessed stem to clarity's compute_haaqi the same way)
-            ref_ear = resample(ref[:, i], sr_ref, config.stem_sample_rate, axis=0)
+            ref_ear = resample(
+                ref[:, min(i, ref.shape[1] - 1)], sr_ref, config.stem_sample_rate, axis=0
+            )
 
             scores[f"{ear}_{source}"] = compute_haaqi(
                 proc, ref_ear, sr_proc, config.stem_sample_rate,

@@ -52,25 +52,46 @@ class NALR:
         return np.convolve(signal, fir, mode="full")
 
 
-def _switched_one_pole(coef: np.ndarray, target: np.ndarray, g0: float = 1.0,
-                       block: int = 512) -> np.ndarray:
-    """Vectorized g[i] = (1-coef[i])*g[i-1] + coef[i]*target[i].
+def _gain_switched_one_pole(target: np.ndarray, a_att: float, a_rel: float,
+                            g0: float = 1.0) -> np.ndarray:
+    """Exact vectorization of the gain-direction switched smoother
 
-    The per-sample coefficients depend only on the input (not on g), so
-    each block solves in closed form: with P = cumprod(1-coef),
-    g = P * (g0 + cumsum(coef*target/P)). Blocked at 512 samples so P
-    cannot underflow even for sub-millisecond attack times (a full-track
-    Python loop here costs seconds per channel; this is ~100x faster)."""
+        coef_i = a_att if target[i] < g[i-1] else a_rel
+        g[i]   = (1 - coef_i) * g[i-1] + coef_i * target[i]
+
+    (clarity Compressor dynamics: attack speed while the gain is being
+    pulled DOWN, release speed while it recovers toward unity — the
+    switch depends on the smoothed state itself, not on the threshold
+    test, so a decaying-but-still-loud passage recovers at release
+    speed). Each constant-mode run solves in closed form (with
+    P = cumprod(1-c), g = P * (g0 + cumsum(c*target/P))); the first
+    sample whose direction disagrees with the assumed mode ends the run
+    and flips it. The one-pole never overshoots its target (c < 1), so
+    mode flips only happen where the smoothed RMS envelope crosses the
+    gain — a handful of events per track, keeping this ~100x faster
+    than the per-sample Python loop it matches to float64 precision."""
+    n = len(target)
     out = np.empty_like(target)
     g = g0
-    for s in range(0, len(target), block):
-        c = coef[s: s + block]
-        t = target[s: s + block]
-        decay = np.cumprod(1.0 - c)
-        u = c * t / decay
-        blk = decay * (g + np.cumsum(u))
-        out[s: s + block] = blk
-        g = blk[-1]
+    i = 0
+    # cap run length so cumprod(1-c) stays far from float64 under/overflow
+    def _cap(c):
+        l1 = np.log1p(-c)
+        return 512 if l1 == 0.0 else max(1, min(512, int(-250.0 / l1)))
+
+    while i < n:
+        att = target[i] < g
+        c = a_att if att else a_rel
+        j = min(i + _cap(c), n)
+        t = target[i:j]
+        decay = np.cumprod(np.full(j - i, 1.0 - c))
+        traj = decay * (g + np.cumsum(c * t / decay))
+        prev = np.concatenate(([g], traj[:-1]))
+        bad = np.flatnonzero((t < prev) != att)
+        k = int(bad[0]) if bad.size else (j - i)  # bad[0] > 0 by construction
+        out[i:i + k] = traj[:k]
+        g = out[i + k - 1]
+        i += k
     return out
 
 
@@ -106,8 +127,9 @@ class Compressor:
         target_level = attenuation*rms + (1-attenuation)*threshold, i.e.
         a compressor of slope ~attenuation that degenerates to a hard
         limiter as attenuation -> 0. The gain follows the target with
-        one-pole attack dynamics while compressing and recovers toward
-        unity with release dynamics."""
+        one-pole attack dynamics while being pulled down and recovers
+        with release dynamics — switched on the gain's direction (the
+        clarity Compressor rule), not on the threshold test."""
         signal = np.asarray(signal, np.float64)
         padded = np.concatenate([np.zeros(self.win_len - 1), signal ** 2])
         mean_sq = scipy.signal.lfilter(np.ones(self.win_len) / self.win_len, [1.0], padded)[self.win_len - 1:]
@@ -121,8 +143,7 @@ class Compressor:
         )
         a_att = 1.0 - np.exp(-1.0 / max(self.attack, 1.0))
         a_rel = 1.0 - np.exp(-1.0 / max(self.release, 1.0))
-        coef = np.where(over, a_att, a_rel)
-        comp_ratios = _switched_one_pole(coef, target)
+        comp_ratios = _gain_switched_one_pole(target, a_att, a_rel)
         out = signal * comp_ratios * self.makeup_gain
         return out, rms, comp_ratios
 

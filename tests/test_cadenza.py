@@ -57,22 +57,52 @@ def test_compressor_reduces_loud_passages():
 
 
 def test_compressor_gain_scan_matches_naive_loop():
-    """The blockwise closed-form switched one-pole must equal the per-sample
-    recurrence g[i] = (1-c[i])*g[i-1] + c[i]*t[i] to float64 precision,
-    including across block boundaries and for fast (large-coef) attacks."""
-    from cadenza.signal_processing import _switched_one_pole
+    """The event-driven closed-form smoother must equal the per-sample
+    gain-direction recurrence (coef = attack iff target < gain — the
+    clarity Compressor rule, where the switch depends on the smoothed
+    state itself) to float64 precision, across run/block boundaries and
+    for fast (large-coef) attacks."""
+    from cadenza.signal_processing import _gain_switched_one_pole
 
     rng = np.random.default_rng(0)
     n = 2000  # > 3 blocks of 512
-    coef = np.where(rng.random(n) > 0.5, 0.6, 1e-4)  # fast attack / slow release
-    target = rng.uniform(0.05, 1.0, n)
-    got = _switched_one_pole(coef, target)
-    g = 1.0
-    want = np.empty(n)
-    for i in range(n):
-        g = (1.0 - coef[i]) * g + coef[i] * target[i]
-        want[i] = g
-    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # smoothed-envelope-like target with sharp loud/quiet transitions
+    steps = np.repeat(rng.uniform(0.05, 1.2, 10), n // 10)
+    kernel = np.ones(101) / 101
+    target = np.convolve(steps, kernel, mode="same")
+    for a_att, a_rel in [(0.6, 1e-4), (0.99, 0.3), (0.005, 0.001)]:
+        got = _gain_switched_one_pole(target, a_att, a_rel)
+        g = 1.0
+        want = np.empty(n)
+        for i in range(n):
+            c = a_att if target[i] < g else a_rel
+            g = (1.0 - c) * g + c * target[i]
+            want[i] = g
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_compressor_release_while_still_over_threshold():
+    """A decaying-but-still-loud passage must recover at RELEASE speed:
+    the attack/release switch follows the gain direction, not the
+    rms-over-threshold test (which stays true throughout the decay)."""
+    fs = 16000
+    n = fs  # 1 s
+    t = np.arange(n) / fs
+    sig = np.sin(2 * np.pi * 440 * t) * np.concatenate(
+        [np.full(n // 2, 4.0), np.linspace(4.0, 1.5, n - n // 2)]
+    )
+    comp = Compressor(fs=fs, threshold=0.2, attenuation=0.001, attack=5,
+                      release=200, rms_buffer_size=0.02)
+    out, rms, gains = comp.process(sig)
+    decay = slice(n // 2 + fs // 8, n - fs // 8)
+    assert np.all(rms[decay] > comp.threshold)  # still compressing
+    dg = np.diff(gains[decay])
+    assert np.all(dg > -1e-12)  # gain recovering (rising target)
+    # release (200 ms) is slow: over ~6000 samples the gain must lag far
+    # behind its target — with attack-speed (5 ms) smoothing it would
+    # have converged to the target ~instantly
+    target = comp.threshold / rms[decay][-1]
+    assert gains[decay][-1] < 0.9 * target
 
 
 def test_clip_and_16bit():

@@ -212,3 +212,30 @@ def test_augmentations():
     aug = D.aug_from_str(["gain", "channelswap"])
     out = aug(np.stack([np.zeros(10), np.ones(10)]).astype(np.float32), rng)
     assert out.shape == (2, 10)
+
+
+def test_folded_augmentation_matches_generic_chain(tmp_path):
+    """_fill_item's folded fast path (gain folded into the PCM multiply,
+    channelswap into the transpose view) hand-duplicates the RNG draw
+    protocol and distributions of _augment_gain/_augment_channelswap.
+    This ties the two copies together: identical items, bit for bit, for
+    identical seeds — so editing one path without the other fails here."""
+    _make_tree(tmp_path, "train", ["trackA", "trackB"])
+    folded = D.TrackTreeDataset(
+        tmp_path, split="train", seq_duration=0.05, samples_per_track=4,
+        source_augmentations=D.aug_from_str(["gain", "channelswap"]),
+    )
+    chain = D.aug_from_str(["gain", "channelswap"])
+    assert chain.canonical_fold
+    chain.canonical_fold = False  # same fns, forced down the generic path
+    generic = D.TrackTreeDataset(
+        tmp_path, split="train", seq_duration=0.05, samples_per_track=4,
+        source_augmentations=chain,
+    )
+    assert len(folded) == len(generic) > 0
+    for index in range(len(folded)):
+        for seed in (0, 123):
+            np.testing.assert_array_equal(
+                folded.getitem_seeded(index, seed),
+                generic.getitem_seeded(index, seed),
+            )

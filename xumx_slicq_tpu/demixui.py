@@ -59,9 +59,11 @@ def _drain_keys(gains) -> bool:
     import select
 
     while select.select([sys.stdin], [], [], 0)[0]:
-        for ch in sys.stdin.read(1):
-            if not apply_key(ch, gains):
-                return False
+        ch = sys.stdin.read(1)
+        if not ch:  # EOF: select reports readable forever, read returns ""
+            return True
+        if not apply_key(ch, gains):
+            return False
     return True
 
 

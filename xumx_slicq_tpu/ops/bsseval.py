@@ -83,9 +83,10 @@ class _BlockedBss:
         self.nfft = nfft = _BLK_NFFT
         self.Lb = Lb = nfft - flen
         self.nb = -(-N // Lb)
-        a_R = self._pad(R)[:, : self.nb * Lb].reshape(K, self.nb, Lb)
+        pR = self._pad(R)  # one padded copy shared by the a-view and b-view
+        a_R = pR[:, : self.nb * Lb].reshape(K, self.nb, Lb)
         self.FA = _rfft(a_R, nfft, use_jax)              # (K, nb, F)
-        self.FBr = _rfft(self._bview(self._pad(R)), nfft, use_jax)
+        self.FBr = _rfft(self._bview(pR), nfft, use_jax)
         self.FBe = _rfft(self._bview(self._pad(E)), nfft, use_jax)
 
     def _pad(self, x):
