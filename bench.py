@@ -200,7 +200,7 @@ def bench_train_step(profile_dir=None, batch=64, bf16=False):
         learning_rate=1e-3, weight_decay=1e-5
     )
     opt_state = optimizer.init(params)
-    train_step, _ = make_train_step(slicqt, model, optimizer, seq_len=L)
+    train_step, _ = make_train_step(slicqt, model, optimizer)
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)

@@ -36,7 +36,7 @@ def _setup(lstm=False, sdr_mcoef=-1.0, batch=2, amp=False):
     params, stats = m.init(jax.random.PRNGKey(0))
     opt = optax.adamw(1e-3)
     opt_state = opt.init(params)
-    train_step, _ = make_train_step(t, m, opt, sdr_mcoef=sdr_mcoef, seq_len=L)
+    train_step, _ = make_train_step(t, m, opt, sdr_mcoef=sdr_mcoef)
     return t, m, params, stats, opt_state, train_step, L
 
 

@@ -28,6 +28,34 @@ def test_reduce_lr_on_plateau():
     assert s.lr == 0.5
 
 
+def test_reduce_lr_on_plateau_matches_torch():
+    """Golden vs torch.optim.lr_scheduler.ReduceLROnPlateau: rel threshold
+    (epsilon-improvements count as bad epochs) and cooldown decrementing on
+    every in-cooldown step, improving epochs included."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    metrics = (1.0 + 0.01 * rng.standard_normal(200)).tolist()
+    # epsilon-"improvement" plateau: each step beats best by 1e-9 (< the
+    # 1e-4 rel threshold) — torch still decays here
+    metrics[50:90] = [0.9 - 1e-9 * i for i in range(40)]
+    # genuine improvements right after a decay (exercises cooldown)
+    metrics[90:110] = [0.8 - 0.01 * i for i in range(20)]
+
+    ours = ReduceLROnPlateau(0.001, factor=0.3, patience=5, cooldown=3)
+    par = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([par], lr=0.001)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.3, patience=5, cooldown=3
+    )
+    for m in metrics:
+        lr_ours = ours.step(m)
+        sch.step(m)
+        lr_torch = opt.param_groups[0]["lr"]
+        assert abs(lr_ours - lr_torch) < 1e-15, (m, lr_ours, lr_torch)
+    assert ours.lr < 0.001  # the trajectory decayed at least once
+
+
 def test_early_stopping():
     es = EarlyStopping(patience=2)
     assert not es.step(1.0)
@@ -35,6 +63,15 @@ def test_early_stopping():
     assert not es.step(1.1)
     assert es.step(1.2)
     assert es.step(float("nan"))
+
+
+def test_early_stopping_first_epoch_nan_aborts():
+    """A NaN on the FIRST epoch must abort immediately and must not poison
+    `best` (the reference's monitor silently adopts NaN as best there,
+    training.py:605-611 — deliberate hardening deviation)."""
+    es = EarlyStopping(patience=3)
+    assert es.step(float("nan"))
+    assert es.best is None
 
 
 @pytest.mark.slow

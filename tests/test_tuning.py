@@ -10,6 +10,49 @@ import pytest
 from xumx_slicq_tpu.tuning import MedianPruner, tuning_main
 
 
+def test_objective_reports_only_completed_trials(monkeypatch, tmp_path):
+    """Optuna MedianPruner semantics: a PRUNED trial's intermediates must
+    not join the pruning history — its values were by definition worse
+    than the then-median, so folding them back in would ratchet the median
+    up and make pruning progressively laxer."""
+    from types import SimpleNamespace
+
+    import xumx_slicq_tpu.training as T
+    from xumx_slicq_tpu.tuning import objective
+
+    vals = {}
+
+    def fake_training_main(argv, epoch_callback=None):
+        out = []
+        for e, v in enumerate(vals["v"], start=1):
+            out.append(v)
+            if epoch_callback and epoch_callback(e, v, v):
+                break
+        return None, out
+
+    monkeypatch.setattr(T, "training_main", fake_training_main)
+    args = SimpleNamespace(
+        study_dir=str(tmp_path), trial_epochs=3, batch_size=1, seq_dur=0.1,
+        fscale="mel", fbins=12, fmin=200.0, samples_per_track=1,
+        max_valid_samples=1, synthetic_dataset=True, musdb_root="",
+        max_batches_per_epoch=-1,
+    )
+    params = {"hidden_size_1": 8, "hidden_size_2": 8, "time_filter_2": 3}
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
+
+    vals["v"] = [1.0, 1.0, 1.0]
+    _, pruned, _ = objective(params, args, pruner, 0)
+    assert not pruned
+    vals["v"] = [2.0, 2.0, 2.0]
+    _, pruned, _ = objective(params, args, pruner, 1)
+    assert not pruned and len(pruner.history) == 2
+
+    vals["v"] = [9.0, 9.0, 9.0]  # worse than median(1,2) -> pruned at e1
+    _, pruned, inter = objective(params, args, pruner, 2)
+    assert pruned and 1 in inter
+    assert len(pruner.history) == 2  # pruned trial stays OUT of the history
+
+
 def test_median_pruner():
     p = MedianPruner(n_startup_trials=2, n_warmup_steps=1)
     # warmup epochs never prune

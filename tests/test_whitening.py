@@ -133,3 +133,65 @@ def test_whitening_windowed_deviation_bounded():
     print(f"windowed whitening deviation: means {mdev:.4f} stds {sdev:.4f}")
     assert mdev < 0.10, f"mean deviation {mdev:.4f} exceeds 10%"
     assert sdev < 0.10, f"std deviation {sdev:.4f} exceeds 10%"
+
+
+def test_whitening_neutralizes_training_sampler(tmp_path):
+    """get_statistics must compute from deterministic full-track on-disk
+    mixtures even when handed the TRAINING dataset (random 2 s crops,
+    gain/channelswap augmentations, random track mixing) — the reference
+    neutralizes the dataset the same way (training.py:124-132). Identical
+    inputs -> bit-identical statistics vs the explicit full-track protocol."""
+    from xumx_slicq_tpu import data as D
+
+    rng = np.random.default_rng(3)
+    n = int(0.8 * SR)
+    mixes = []
+    for name in ["trackA", "trackB"]:
+        d = tmp_path / "train" / name
+        d.mkdir(parents=True)
+        stems = {s: (rng.standard_normal((2, n)) * 0.2).astype(np.float32)
+                 for s in D.SOURCES}
+        mix = sum(stems.values())
+        D.save_audio(d / "mixture.wav", mix, SR)
+        for s, a in stems.items():
+            D.save_audio(d / f"{s}.wav", a, SR)
+        mixes.append(mix)
+
+    train_ds = D.TrackTreeDataset(
+        tmp_path, split="train", seq_duration=0.25, samples_per_track=4,
+        random_track_mix=True,
+        source_augmentations=D.aug_from_str(["gain", "channelswap"]),
+    )
+    slicqt = SliCQT(**TINY)
+    means, stds = get_statistics(slicqt, train_ds, window_s=0.8)
+    # the same full tracks via the explicit fixed protocol; load from disk
+    # so any wav round-trip quantization cancels
+    loaded = [D.load_audio(tmp_path / "train" / t / "mixture.wav")[0]
+              for t in ["trackA", "trackB"]]
+    ref_means, ref_stds = get_statistics(
+        slicqt, FixedTrackDataset(loaded), window_s=0.8
+    )
+    for a, b in zip(means, ref_means):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    for a, b in zip(stds, ref_stds):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_whitening_short_track_padding_trimmed():
+    """A track shorter than the stats window is zero-padded to the single
+    compiled shape; the pure-padding slices must be dropped from the
+    accumulation (without the trim, a 4x pad drags the mean ~4x low)."""
+    L = SR  # 1 s track
+    tracks = _make_tracks([L], seed=2)
+    slicqt = SliCQT(**TINY)
+    exact_m, exact_s = get_statistics(
+        slicqt, FixedTrackDataset(tracks), window_s=1.0
+    )  # window == track: the exact protocol
+    padded_m, padded_s = get_statistics(
+        slicqt, FixedTrackDataset(tracks), window_s=4.0
+    )  # 4x zero-padding, trimmed
+    mdev = _max_rel_dev(padded_m, exact_m)
+    sdev = _max_rel_dev(padded_s, exact_s)
+    print(f"short-track trim deviation: means {mdev:.4f} stds {sdev:.4f}")
+    assert mdev < 0.25, f"mean deviation {mdev:.4f}: padding not trimmed?"
+    assert sdev < 0.25, f"std deviation {sdev:.4f}: padding not trimmed?"

@@ -15,6 +15,7 @@ cadenza/evaluate.py:254-256): tracks are sharded two ways --
 """
 
 import argparse
+import os
 import json
 import queue
 import threading
@@ -92,9 +93,15 @@ def separate_track_device(separator: Separator, track_dir: Path):
     est = separator.forward_device(mix)                   # (4, 1, C, N)
     ests = {t: jnp.swapaxes(est[i, 0], 0, 1) for i, t in enumerate(separator.sources)}
 
+    from .data import pcm_scale_info
+
     refs = {}
     for t in separator.sources:
         a, _ = load_audio_raw(track_dir / f"{t}.wav")
+        # reject unsupported dtypes on the HOST array: staging silently
+        # canonicalizes (int64 -> int32) and would mask the error AND
+        # apply the wrong full-scale downstream
+        pcm_scale_info(a.dtype)
         refs[t] = stage(a.T)                              # (N, C) wav dtype
     return refs, ests
 
@@ -282,12 +289,16 @@ def evaluation_main(argv=None):
 
     def stream_result(ts):
         # incremental per-track output + write-through so a crash mid-run
-        # keeps every scored track (completion order; merged stores sort)
+        # keeps every scored track (completion order; merged stores sort).
+        # Atomic replace: truncating the target in place would lose ALL
+        # prior results if the process dies mid-write.
         print(ts, flush=True)
         done.append(ts)
         if args.output_json:
-            with open(args.output_json, "w") as f:
+            tmp = args.output_json + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump([track_scores_to_json(t) for t in done], f)
+            os.replace(tmp, args.output_json)
 
     sep_fn = score_fn = None
     if not args.device_resident and not args.bss_on_device:

@@ -25,9 +25,9 @@ driven by XLA's compilation model:
 
 import json
 import sys
-from functools import partial
+import time
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -292,11 +292,15 @@ class Separator:
         )
 
     def warmup(self, reps: int = 1, duration_s: float = 100.0):
-        """Compile/execute on random audio (reference separator.py:83-91)."""
+        """Compile/execute on random audio (reference separator.py:83-91).
+        `quiet=False` reports per-rep progress (first rep pays the jit)."""
         rng = np.random.default_rng(0)
-        for _ in range(reps):
+        for r in range(reps):
+            t0 = time.time()
             w = rng.random((1, 2, int(duration_s * self.sample_rate)), np.float32)
             self.forward(w)
+            if not self.quiet:
+                print(f"warmup {r + 1}/{reps}: {time.time() - t0:.1f}s", file=sys.stderr)
 
     @staticmethod
     def to_dict(estimates: np.ndarray, aggregate_dict: Optional[dict] = None) -> dict:

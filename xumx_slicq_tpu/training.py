@@ -46,30 +46,39 @@ from .separator import save_model_weights
 
 
 class ReduceLROnPlateau:
-    """torch.optim.lr_scheduler.ReduceLROnPlateau (min mode) with cooldown."""
+    """torch.optim.lr_scheduler.ReduceLROnPlateau (min mode, rel threshold)
+    with cooldown — faithful to torch's step(): an epoch only counts as an
+    improvement when metric < best * (1 - threshold) (default 1e-4), and
+    the cooldown counter decrements on EVERY step while in cooldown
+    (improving epochs included)."""
 
-    def __init__(self, lr: float, factor: float = 0.3, patience: int = 80, cooldown: int = 10):
+    def __init__(self, lr: float, factor: float = 0.3, patience: int = 80,
+                 cooldown: int = 10, threshold: float = 1e-4, eps: float = 1e-8):
         self.lr = lr
         self.factor = factor
         self.patience = patience
         self.cooldown = cooldown
+        self.threshold = threshold
+        self.eps = eps
         self.best = None
         self.num_bad_epochs = 0
         self.cooldown_counter = 0
 
     def step(self, metric: float) -> float:
-        if self.best is None or metric < self.best:
+        if self.best is None or metric < self.best * (1.0 - self.threshold):
             self.best = metric
-            self.num_bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
             self.num_bad_epochs = 0
         else:
             self.num_bad_epochs += 1
-            if self.num_bad_epochs > self.patience:
-                self.lr *= self.factor
-                self.cooldown_counter = self.cooldown
-                self.num_bad_epochs = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            new_lr = self.lr * self.factor
+            if self.lr - new_lr > self.eps:  # torch skips sub-eps updates
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
         return self.lr
 
     def state_dict(self):
@@ -93,11 +102,15 @@ class EarlyStopping:
         self.num_bad_epochs = 0
 
     def step(self, metric: float) -> bool:
+        # NaN aborts FIRST — the reference checks after its best-is-None
+        # branch (training.py:605-611), so a first-epoch NaN would become
+        # `best` there, permanently poisoning best tracking (NaN != NaN)
+        # and the best-weights save; deliberate hardening deviation
+        if np.isnan(metric):
+            return True
         if self.best is None:
             self.best = metric
             return False
-        if np.isnan(metric):
-            return True
         if metric < self.best - self.min_delta:
             self.best = metric
             self.num_bad_epochs = 0
@@ -130,10 +143,27 @@ def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Opti
     over the dataset (reference training.py:115-154: StandardScaler
     partial_fit over (frames, F) rows of the channel-mean magnitude).
 
+    Like the reference (training.py:124-132), the dataset is neutralized
+    first — full tracks, no random crops, no augmentations, no random
+    track mixing, one item per track — so the statistics come from the
+    TRUE on-disk mixtures, not from the training sampler's augmented
+    synthetic crops.
+
     Tracks are processed in fixed-size windows so only ONE transform shape
     is ever compiled (the reference transforms each full variable-length
-    track; statistics over full-coverage windows are equivalent up to
-    window-boundary effects)."""
+    track); a final short window is zero-padded and its pure-padding
+    slices are dropped from the accumulation, so statistics match the
+    full-coverage protocol up to window-boundary effects."""
+    import copy
+
+    dataset = copy.copy(dataset)
+    for attr, val in (("seq_duration", None), ("samples_per_track", 1),
+                      ("random_track_mix", False), ("fixed_start", 0)):
+        if hasattr(dataset, attr):
+            setattr(dataset, attr, val)
+    if hasattr(dataset, "source_augmentations"):
+        dataset.source_augmentations = lambda a, rng: a
+
     n_blocks = len(slicqt.buckets)
     count = [0.0] * n_blocks
     s1 = [None] * n_blocks
@@ -144,37 +174,43 @@ def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Opti
         n_tracks = min(n_tracks, max_tracks)
 
     win = int(window_s * getattr(dataset, "sample_rate", 44100.0))
+    hop = max(slicqt.sllen // 2, 1)  # slice advance (50% overlap)
     fwd = jax.jit(lambda x: [jnp.abs(c) for c in slicqt.forward(x)])
 
     def windows(x):
+        """Yield (window, real_len) fixed-size windows covering x."""
         L = x.shape[-1]
         if L <= win:
-            yield np.pad(x, ((0, 0), (0, 0), (0, win - L)))
+            yield np.pad(x, ((0, 0), (0, 0), (0, win - L))), L
             return
         pos = 0
         while pos < L:
             if pos + win > L:
                 pos = L - win  # final window aligned to the track end
-            yield x[..., pos: pos + win]
+            yield x[..., pos: pos + win], win
             pos += win
 
     for ti in range(n_tracks):
-        # deterministic full-track mixture (samples_per_track stride)
-        item = dataset[ti * getattr(dataset, "samples_per_track", 1)]
+        item = dataset[ti]  # deterministic un-augmented full-track item
         x = np.asarray(item[0], np.float32)[None]  # (1, C, L)
-        mag_parts = [fwd(jnp.asarray(w)) for w in windows(x)]
-        for i in range(n_blocks):
-            m = np.concatenate([np.asarray(p[i]) for p in mag_parts], axis=3)
-            m = np.asarray(m)  # (1, C, F, S, T)
-            flat = m.reshape(m.shape[0], m.shape[1], m.shape[2], -1).mean(1)  # (1,F,frames)
-            rows = np.moveaxis(flat, 1, 2).reshape(-1, m.shape[2])  # (frames, F)
-            count[i] += rows.shape[0]
-            if s1[i] is None:
-                s1[i] = rows.sum(0)
-                s2[i] = (rows ** 2).sum(0)
-            else:
-                s1[i] += rows.sum(0)
-                s2[i] += (rows ** 2).sum(0)
+        for w, real_len in windows(x):
+            mags = fwd(jnp.asarray(w))
+            for i in range(n_blocks):
+                m = np.asarray(mags[i])  # (1, C, F, S, T)
+                if real_len < win:
+                    # keep only slices that overlap real samples (+1 for
+                    # the transform's start padding / boundary slice)
+                    s_keep = min(m.shape[3], -(-real_len // hop) + 1)
+                    m = m[:, :, :, :s_keep]
+                flat = m.reshape(m.shape[0], m.shape[1], m.shape[2], -1).mean(1)  # (1,F,frames)
+                rows = np.moveaxis(flat, 1, 2).reshape(-1, m.shape[2])  # (frames, F)
+                count[i] += rows.shape[0]
+                if s1[i] is None:
+                    s1[i] = rows.sum(0)
+                    s2[i] = (rows ** 2).sum(0)
+                else:
+                    s1[i] += rows.sum(0)
+                    s2[i] += (rows ** 2).sum(0)
 
     means = [s1[i] / count[i] for i in range(n_blocks)]
     stds = []
@@ -191,8 +227,7 @@ def get_statistics(slicqt: SliCQT, dataset, quiet: bool = True, max_tracks: Opti
 
 
 def make_train_step(slicqt: SliCQT, model: Unmix, optimizer, sdr_mcoef: float = -1.0,
-                    seq_len: int = None, mask_sum_coef: float = 1.0,
-                    valid_metric: str = "loss"):
+                    mask_sum_coef: float = 1.0, valid_metric: str = "loss"):
     """Build the jitted training step.
 
     batch: (B, 5, C, L) stacked (mix, bass, vocals, other, drums).
@@ -422,11 +457,9 @@ def training_main(argv=None, epoch_callback=None):
         print(f"model parameters: {model.num_params(params):,}")
 
     # mesh + optimizer: the dp axis must divide the batch
-    import jax as _jax
-
     tp = max(1, args.tp)
     if args.n_devices < 0:
-        n_dev = len(_jax.devices())
+        n_dev = len(jax.devices())
         if n_dev < tp:
             raise ValueError(
                 f"--tp {tp} exceeds usable device count ({n_dev} available)"
@@ -447,14 +480,13 @@ def training_main(argv=None, epoch_callback=None):
         print(f"device mesh: {dict(mesh.shape)}")
 
     scheduler = ReduceLROnPlateau(args.lr, args.lr_decay_gamma, args.lr_decay_patience, cooldown=10)
-    lr_schedule = lambda _count: scheduler.lr  # host-controlled plateau LR
     optimizer = optax.inject_hyperparams(optax.adamw)(
         learning_rate=args.lr, weight_decay=args.weight_decay
     )
     opt_state = optimizer.init(params)
 
     train_step, valid_step = make_train_step(
-        slicqt, model, optimizer, args.sdr_mcoef, seq_len,
+        slicqt, model, optimizer, args.sdr_mcoef,
         mask_sum_coef=args.mask_sum_coef, valid_metric=args.valid_metric,
     )
 

@@ -102,7 +102,12 @@ def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
     # backfill the earlier history so the pruner sees the whole trajectory
     for e, v in enumerate(valid_losses, start=1):
         intermediate.setdefault(e, float(v))
-    pruner.report_trial(intermediate)
+    # only COMPLETED trials join the pruning history (optuna MedianPruner
+    # semantics): a pruned trial's values were by definition worse than the
+    # then-median, so folding them back in would ratchet the median up and
+    # make pruning progressively laxer
+    if not pruned[0]:
+        pruner.report_trial(intermediate)
     return float(valid_losses[-1]), pruned[0], intermediate
 
 
@@ -146,7 +151,9 @@ def tuning_main(argv=None):
     rng = random.Random(args.seed + len(trials))
     pruner = MedianPruner()
     for t in trials:
-        if t.get("intermediate"):
+        # resume: rebuild the history from COMPLETED trials only (pruned
+        # trials stay out, matching the live-path report_trial gate)
+        if t.get("intermediate") and not t.get("pruned"):
             pruner.report_trial({int(k): v for k, v in t["intermediate"].items()})
 
     best = min(
