@@ -79,7 +79,25 @@ def _gain_switched_one_pole(target: np.ndarray, a_att: float, a_rel: float,
         l1 = np.log1p(-c)
         return 512 if l1 == 0.0 else max(1, min(512, int(-250.0 / l1)))
 
+    osc = 0  # consecutive vectorized runs that died after a single sample
     while i < n:
+        if osc >= 4:
+            # worst case: the RMS envelope hovers around the gain (e.g.
+            # tremolo at the threshold), every vectorized run terminates at
+            # length 1, and the per-run numpy setup makes this SLOWER than a
+            # plain loop. Fall back to the scalar recurrence (numerically
+            # identical) until one direction persists, then resume vectorized.
+            same, last = 0, target[i] < g
+            while i < n and same < 8:
+                att = target[i] < g
+                same = same + 1 if att == last else 0
+                last = att
+                c = a_att if att else a_rel
+                g = (1.0 - c) * g + c * target[i]
+                out[i] = g
+                i += 1
+            osc = 0
+            continue
         att = target[i] < g
         c = a_att if att else a_rel
         j = min(i + _cap(c), n)
@@ -92,6 +110,7 @@ def _gain_switched_one_pole(target: np.ndarray, a_att: float, a_rel: float,
         out[i:i + k] = traj[:k]
         g = out[i + k - 1]
         i += k
+        osc = osc + 1 if k == 1 else 0
     return out
 
 

@@ -81,6 +81,32 @@ def test_compressor_gain_scan_matches_naive_loop():
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_gain_smoother_hovering_envelope():
+    """Worst case for the vectorized smoother: a target oscillating around
+    the gain every sample, so every vectorized run dies at length 1. The
+    scalar fallback must kick in and stay numerically identical to the
+    per-sample recurrence (and transition cleanly back to vectorized runs)."""
+    from cadenza.signal_processing import _gain_switched_one_pole
+
+    rng = np.random.default_rng(1)
+    n = 4096
+    # hover segment: alternate just above/below the running gain (~1.0),
+    # then a smooth ramp so both code paths are exercised in one call
+    hover = 1.0 + 0.001 * np.where(np.arange(n // 2) % 2 == 0, 1.0, -1.0)
+    hover += 1e-4 * rng.standard_normal(n // 2)
+    ramp = np.linspace(hover[-1], 0.2, n - n // 2)
+    target = np.concatenate([hover, ramp])
+    for a_att, a_rel in [(0.5, 0.01), (0.9, 0.9), (0.003, 0.002)]:
+        got = _gain_switched_one_pole(target, a_att, a_rel)
+        g = 1.0
+        want = np.empty(n)
+        for i in range(n):
+            c = a_att if target[i] < g else a_rel
+            g = (1.0 - c) * g + c * target[i]
+            want[i] = g
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
 def test_compressor_release_while_still_over_threshold():
     """A decaying-but-still-loud passage must recover at RELEASE speed:
     the attack/release switch follows the gain direction, not the

@@ -44,6 +44,29 @@ def test_slicqfinder_main_smoke(tmp_path):
     assert out.exists()
 
 
+def test_slicqfinder_per_target(tmp_path):
+    """--per-target emits 4 per-stem oracle SDRs per config and tracks a best
+    config per target (reference slicqfinder.py:357-411 single-target mode)."""
+    import json as J
+
+    out = tmp_path / "res.json"
+    res = slicqfinder_main([
+        "--synthetic-dataset", "--n-iter", "3", "--n-segments", "1",
+        "--seq-dur", "0.5", "--output-json", str(out), "--seed", "1",
+        "--per-target",
+    ])
+    assert res is not None and "best_per_target" in res
+    bpt = res["best_per_target"]
+    assert set(bpt.keys()) == {"bass", "vocals", "other", "drums"}
+    for t, entry in bpt.items():
+        if entry is not None:
+            assert np.isfinite(entry["oracle_sdr"])
+    saved = J.loads(out.read_text())
+    assert "best_per_target" in saved
+    for h in saved["history"]:
+        assert set(h["per_target"].keys()) == {"bass", "vocals", "other", "drums"}
+
+
 def test_visualization(tmp_path):
     from xumx_slicq_tpu.visualization import visualization_main
 

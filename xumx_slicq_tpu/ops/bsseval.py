@@ -375,7 +375,19 @@ class DeviceBssEval:
         self.nfft = _BLK_NFFT
         self.Lb = self.nfft - filters_len
         self.nb_round = nb_round
+        # one engine is shared across the N evaluation worker threads
+        # (evaluation.py run_parallel_evaluation), so the jit-object cache
+        # must be race-free: without the lock two threads can miss the same
+        # key and each build + trace + compile its own executable for it.
+        # One jit object per (K, nb, nchan) is correct for multi-device use
+        # too — jax.jit's own cache compiles one executable per input
+        # sharding/device, which is the intended one-compile-per-
+        # (shape-bucket, device).
+        import threading
+
         self._cores = {}
+        self._lock = threading.Lock()
+        self.trace_counts: Dict[tuple, int] = {}  # (K, nb, nchan) -> #traces (diagnostic)
 
     # -- jitted core ---------------------------------------------------------
 
@@ -384,8 +396,16 @@ class DeviceBssEval:
         import jax.numpy as jnp
 
         key = (K, nb, nchan)
-        if key in self._cores:
-            return self._cores[key]
+        with self._lock:
+            if key in self._cores:
+                return self._cores[key]
+            return self._build_core(key, K, nb, nchan)
+
+    def _build_core(self, key, K: int, nb: int, nchan: int):
+        # called with self._lock held; closure construction is microseconds
+        # (tracing/compilation happen lazily at the first call of the jitted fn)
+        import jax
+        import jax.numpy as jnp
 
         flen, nfft, Lb, window = self.flen, self.nfft, self.Lb, self.window
         Npad = nb * Lb
@@ -433,6 +453,11 @@ class DeviceBssEval:
             projections ring out flen-1 samples past it and must not leak
             into a partial window. Returns 7 (nsrc, nwin_all) f32 energy
             arrays."""
+            # traced-time side effect: counts (re)traces of this bucket —
+            # jit re-traces once per input sharding/device (intentional);
+            # anything beyond #devices indicates a wasted compile
+            self.trace_counts[key] = self.trace_counts.get(key, 0) + 1
+
             def bview(p, a):
                 # b-block i = a-block i ++ first flen samples of block i+1
                 # (last head = the flen-sample margin). Pure slices/concat:
@@ -483,7 +508,7 @@ class DeviceBssEval:
             )
 
         fn = jax.jit(core)
-        self._cores[key] = fn
+        self._cores[key] = fn  # lock held by _core
         return fn
 
     # -- host-facing API -----------------------------------------------------

@@ -97,6 +97,10 @@ def slicqfinder_main(argv=None):
     parser.add_argument("--seq-dur", type=float, default=5.0)
     parser.add_argument("--phasemix", action="store_true", default=False,
                         help="oracle with mix-phase instead of Wiener-EM")
+    parser.add_argument("--per-target", action="store_true", default=False,
+                        help="optimize each stem independently: report 4 per-stem "
+                        "oracle SDRs per config and track a best config per target "
+                        "(reference slicqfinder.py:357-411 single-target mode)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-json", type=str, default=None)
     args = parser.parse_args(argv)
@@ -110,23 +114,47 @@ def slicqfinder_main(argv=None):
     segments = [ds[i] for i in range(min(args.n_segments, len(ds)))]
 
     best = None
+    best_per_target = {t: None for t in TARGETS}
     history = []
     for it in range(args.n_iter):
         cfg = random_config(rng)
-        score = evaluate_config(cfg, segments, phasemix=args.phasemix)
+        score = evaluate_config(cfg, segments, phasemix=args.phasemix,
+                                per_target=args.per_target)
         if score is None:
             continue
-        history.append({**cfg, "oracle_sdr": score})
+        if args.per_target:
+            per_stem = {t: float(s) for t, s in zip(TARGETS, score)}
+            mean_score = float(np.mean(score))
+            history.append({**cfg, "oracle_sdr": mean_score, "per_target": per_stem})
+            new_best_stems = []
+            for t in TARGETS:
+                if best_per_target[t] is None or per_stem[t] > best_per_target[t]["oracle_sdr"]:
+                    best_per_target[t] = {**cfg, "oracle_sdr": per_stem[t]}
+                    new_best_stems.append(t)
+            stems_str = " ".join(f"{t}={per_stem[t]:.3f}" for t in TARGETS)
+            tag = f" NEW BEST[{','.join(new_best_stems)}]" if new_best_stems else ""
+            print(f"[{it}]{tag} oracle SDR mean {mean_score:.3f} dB ({stems_str}): {cfg}")
+            score = mean_score
+        else:
+            history.append({**cfg, "oracle_sdr": score})
         if best is None or score > best["oracle_sdr"]:
             best = history[-1]
-            print(f"[{it}] NEW BEST oracle SDR {score:.3f} dB: {cfg}")
-        else:
+            if not args.per_target:
+                print(f"[{it}] NEW BEST oracle SDR {score:.3f} dB: {cfg}")
+        elif not args.per_target:
             print(f"[{it}] oracle SDR {score:.3f} dB: {cfg}")
         if args.output_json:
+            out = {"best": best, "history": history}
+            if args.per_target:
+                out["best_per_target"] = best_per_target
             with open(args.output_json, "w") as f:
-                json.dump({"best": best, "history": history}, f, indent=2)
+                json.dump(out, f, indent=2)
 
     print(f"\nbest config: {best}")
+    if args.per_target:
+        for t in TARGETS:
+            print(f"best[{t}]: {best_per_target[t]}")
+        return {"best": best, "best_per_target": best_per_target}
     return best
 
 

@@ -82,14 +82,21 @@ class ReduceLROnPlateau:
         return self.lr
 
     def state_dict(self):
+        # threshold/eps serialized like torch does, so resuming into a
+        # scheduler constructed with different values restores the
+        # checkpoint's semantics rather than silently adopting the new ones
         return dict(lr=self.lr, best=self.best, num_bad_epochs=self.num_bad_epochs,
-                    cooldown_counter=self.cooldown_counter)
+                    cooldown_counter=self.cooldown_counter,
+                    threshold=self.threshold, eps=self.eps)
 
     def load_state_dict(self, d):
         self.lr = d["lr"]
         self.best = d["best"]
         self.num_bad_epochs = d["num_bad_epochs"]
         self.cooldown_counter = d["cooldown_counter"]
+        # .get() fallbacks: checkpoints written before these were serialized
+        self.threshold = d.get("threshold", self.threshold)
+        self.eps = d.get("eps", self.eps)
 
 
 class EarlyStopping:
