@@ -49,6 +49,38 @@ import numpy as np
 # tops out well below this — MFU vs bf16 peak is the conservative bound)
 V5E_PEAK_BF16_FLOPS = 197e12
 
+# Every bench mode records its result here so the default (driver-recorded)
+# run can echo ALL headline metrics as supplementary stderr JSON — a
+# regression in train-step / realtime / eval-throughput is then visible in
+# the BENCH_r* artifact history, not just in PERFORMANCE.md prose.
+HISTORY_PATH = Path(__file__).resolve().parent / "BENCH_HISTORY.json"
+
+
+def _record_metric(result: dict, **extra):
+    import os
+
+    try:
+        hist = json.loads(HISTORY_PATH.read_text()) if HISTORY_PATH.exists() else {}
+    except (OSError, json.JSONDecodeError):
+        hist = {}
+    hist[result["metric"]] = {**result, **extra,
+                              "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    tmp = str(HISTORY_PATH) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(hist, f, indent=2, sort_keys=True)
+    os.replace(tmp, HISTORY_PATH)
+
+
+def _echo_supplementary(current_metric: str):
+    """stderr JSON lines with the last-measured value of every OTHER metric."""
+    try:
+        hist = json.loads(HISTORY_PATH.read_text()) if HISTORY_PATH.exists() else {}
+    except (OSError, json.JSONDecodeError):
+        return
+    for metric in sorted(hist):
+        if metric != current_metric:
+            print(f"# supplementary {json.dumps(hist[metric])}", file=sys.stderr)
+
 
 def _compile_with_cost(jitted, *args):
     """AOT-compile a jitted fn; return (callable, flops_per_call)."""
@@ -82,7 +114,7 @@ def _profiled(profile_dir):
     return profile_trace(profile_dir)
 
 
-def bench_inference(profile_dir=None, realtime=False):
+def bench_inference(profile_dir=None, realtime=False, synth_staging="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +129,9 @@ def bench_inference(profile_dir=None, realtime=False):
     sr = 44100
     chunk = 2621440
 
-    slicqt = SliCQT()  # canonical bark-262 flagship config
+    # canonical bark-262 flagship config; --synth-staging bf16 stages the
+    # synthesis assembly value buffer as split re/im bf16 planes
+    slicqt = SliCQT(synth_staging=synth_staging)
     shapes = slicqt.block_shapes(1, 2, int(2.0 * sr))
     # offline = embedded Wiener-EM (the 4.4 dB tier); realtime = causal
     # convs + phasemix (the reference tier the 2.08 s baseline measures)
@@ -148,12 +182,18 @@ def bench_inference(profile_dir=None, realtime=False):
     d2h_s = time.time() - t0
 
     baseline = 2.08  # s/track, reference realtime model on RTX 3090 (README.md:157)
-    print(json.dumps({
-        "metric": "realtime_inference_time_per_track_s" if realtime else "inference_time_per_track_s",
+    metric = "realtime_inference_time_per_track_s" if realtime else "inference_time_per_track_s"
+    if synth_staging != "f32":
+        metric += f"_{synth_staging}"
+    result = {
+        "metric": metric,
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
-    }))
+    }
+    print(json.dumps(result))
+    _record_metric(result, device=str(dev))
+    _echo_supplementary(result["metric"])
     print(
         f"# device={dev} compile={compile_s:.1f}s device_exec_runs={[round(t, 3) for t in times]} "
         f"h2d_staging={h2d_s:.1f}s d2h_stems={d2h_s:.1f}s (dev tunnel ~20MB/s) "
@@ -229,12 +269,14 @@ def bench_train_step(profile_dir=None, batch=64, bf16=False):
     value = float(min(times))
 
     baseline = 170.0 / 86.0  # s/step: reference epoch / 86 batch-64 steps (README.md:191)
-    print(json.dumps({
+    result = {
         "metric": "train_step_bf16_time_s" if bf16 else "train_step_time_s",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
-    }))
+    }
+    print(json.dumps(result))
+    _record_metric(result, device=str(dev), batch=batch)
     print(
         f"# device={dev} compile={compile_s:.1f}s step_runs={[round(t, 3) for t in times]} "
         f"h2d={h2d_s:.1f}s batch={batch} seq=2.0s loss={float(np.asarray(loss)):.5f} "
@@ -373,12 +415,14 @@ def bench_eval_throughput(n_tracks=3, track_seconds=236.0, bss_on_device=False,
 
     baseline = 2.5 * 3600 / 50  # 180 s/track: reference 2-3 h / 50 tracks
     mode = "devres" if device_resident else ("device" if bss_on_device else "host")
-    print(json.dumps({
+    result = {
         "metric": f"eval_track_time_{mode}_bss_s",
         "value": round(value, 2),
         "unit": "s",
         "vs_baseline": round(baseline / value, 3),
-    }))
+    }
+    print(json.dumps(result))
+    _record_metric(result, device=str(dev), n_tracks=n_tracks)
     med = lambda k: float(np.median(times[k])) if times[k] else float("nan")
     tunnel = med("d2h")
     ex_tunnel = max(value - tunnel, med("bss") if mode == "host" else med("exec"))
@@ -456,12 +500,14 @@ def bench_data_loader(batch=64, seq_dur=2.0, n_batches=8, workers=4):
         shutil.rmtree(root, ignore_errors=True)
 
     step_s = 0.1954  # measured canonical fp32 step (PERFORMANCE.md)
-    print(json.dumps({
+    result = {
         "metric": "data_loader_batch_time_s",
         "value": round(par_s, 4),
         "unit": "s",
         "vs_baseline": round(step_s / par_s, 3),
-    }))
+    }
+    print(json.dumps(result))
+    _record_metric(result, workers=workers, batch=batch)
     print(
         f"# loader: batch={batch} seq={seq_dur}s stems=PCM_16 | serial={serial_s:.3f} s/batch, "
         f"workers={workers}: {par_s:.3f} s/batch | device step={step_s} s -> "
@@ -499,6 +545,10 @@ def main():
     p.add_argument("--data-loader", action="store_true",
                    help="measure host data-loader s/batch vs the train step "
                         "(synthetic PCM_16 wav tree; no device needed)")
+    p.add_argument("--synth-staging", choices=("f32", "bf16"), default="f32",
+                   help="inference: stage the synthesis assembly value buffer "
+                        "as split re/im bf16 planes (halves the dominant "
+                        "synthesis HBM traffic; ~1.5e-3 relative output error)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
@@ -511,7 +561,8 @@ def main():
                               bss_on_device=args.bss_on_device,
                               device_resident=args.device_resident)
     else:
-        bench_inference(profile_dir=args.profile, realtime=args.realtime)
+        bench_inference(profile_dir=args.profile, realtime=args.realtime,
+                        synth_staging=args.synth_staging)
 
 
 if __name__ == "__main__":

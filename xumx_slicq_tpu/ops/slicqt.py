@@ -123,6 +123,7 @@ class SliCQT:
         sllen: Optional[int] = None,
         trlen: Optional[int] = None,
         min_win: int = 16,
+        synth_staging: str = "f32",
     ):
         self.scale_name = scale
         self.fbins = fbins
@@ -130,6 +131,15 @@ class SliCQT:
         self.fmax = fmax
         self.fgamma = fgamma
         self.fs = fs
+        # "bf16": stage the synthesis assembly value buffer V as split re/im
+        # bfloat16 planes (the pad+concat and gather traffic that dominates
+        # synthesis HBM bytes, PERFORMANCE.md roofline) and accumulate the
+        # overlap sum in f32. Halves the bytes of the dominant stages for a
+        # bounded accuracy cost (~bf16's 2^-8 relative per summand). Only
+        # the fused (_v2_idx) assembly honors it; goldens use the default.
+        if synth_staging not in ("f32", "bf16"):
+            raise ValueError(f"synth_staging must be 'f32' or 'bf16', got {synth_staging!r}")
+        self.synth_staging = synth_staging
 
         scl = make_scale(scale, fbins, fmin, fmax, fgamma)
         if sllen is None:
@@ -391,7 +401,16 @@ class SliCQT:
             return -(-n // LANE) * LANE
 
         entries: List[List[int]] = [[] for _ in range(nh)]
+        # v3 entries for the fused path: (raw_idx, w_re, w_im) over the RAW
+        # (unweighted, positive-pieces-only) layout — the synthesis weights
+        # and the mirror conjugation ride the gather as static per-entry
+        # weight tables (w_im = -w for mirror entries), so `backward` never
+        # materializes weighted or mirror pieces. Same summands in the same
+        # order as the legacy entries: bit-identical f32 results.
+        entries3: List[List[tuple]] = [[] for _ in range(nh)]
         flat_off = 0
+        raw_off = 0
+        raw_starts = []
         # Every piece's offset is rounded up to a multiple of 128 (the TPU
         # minor-dim tile): the concat in `backward` then lowers to aligned
         # whole-tile copies instead of cross-tile read-modify-writes, which
@@ -402,44 +421,63 @@ class SliCQT:
             M = b.M
             l2 = M // 2
             tgt = (l2 + np.arange(M)) % M
+            raw_starts.append(raw_off)
             for j_local, j in enumerate(range(b.f_start, b.f_start + b.f_count)):
                 pos = plan.wins[j][tgt]
                 base = flat_off + j_local * M
+                raw_base = raw_off + j_local * M
                 for u in range(M):
                     p = int(pos[u])
                     if p < nh:
                         entries[p].append(base + u)
+                        w = float(b.w_pos[j_local, u])
+                        entries3[p].append((raw_base + u, w, w))
             width = b.f_count * M
             self._piece_pads.append(aligned(width) - width)
             flat_off += aligned(width)
-        for b in self.buckets:
+            raw_off += aligned(width)
+        for bi, b in enumerate(self.buckets):
             if b.w_neg is None:
                 continue
             M = b.M
             l2 = M // 2
             tgt = (l2 + np.arange(M)) % M
             width = 0
-            for j in range(b.f_start + b.neg_lo, b.f_start + b.neg_hi):
+            for row, j in enumerate(range(b.f_start + b.neg_lo, b.f_start + b.neg_hi)):
                 jm = 2 * (self.nfreqs - 1) - j
                 pos = plan.wins[jm][tgt]
+                raw_base = raw_starts[bi] + (j - b.f_start) * M
                 for u in range(M):
                     p = int(pos[u])
                     if p < nh:
                         entries[p].append(flat_off + width + u)
+                        # mirror value u reads conj(spec[j, mu]) * w_neg
+                        # (mu = u+1, clamped: nsigtf.py:71-77 rederived)
+                        mu = u + 1 if u < M - 1 else M - 1
+                        w = float(b.w_neg[row, u])
+                        entries3[p].append((raw_base + mu, w, -w))
                 width += M
             self._piece_pads.append(aligned(width) - width)
             flat_off += aligned(width)
 
         self._flat_len = flat_off
+        self._raw_flat_len = raw_off
         O = max(len(e) for e in entries)
         inv_idx = np.full((nh, O), flat_off, dtype=np.int32)  # sentinel -> zero
+        v3_idx = np.full((nh, O), raw_off, dtype=np.int32)    # sentinel (w=0 too)
+        v3_wr = np.zeros((nh, O), dtype=np.float32)
+        v3_wi = np.zeros((nh, O), dtype=np.float32)
         for p, e in enumerate(entries):
             inv_idx[p, : len(e)] = e
+            for o, (ri, wr, wi) in enumerate(entries3[p]):
+                v3_idx[p, o] = ri
+                v3_wr[p, o] = wr
+                v3_wi[p, o] = wi
         self._inv_idx = inv_idx
         self.inv_overlap = O
-        self._build_v2_gather()
+        self._build_v2_gather(v3_idx, v3_wr, v3_wi)
 
-    def _build_v2_gather(self):
+    def _build_v2_gather(self, v3_idx, v3_wr, v3_wi):
         """Fused synthesis assembly table (Hermitian-half plan only).
 
         `backward` can gather straight into the (n2, h1) layout the
@@ -449,7 +487,10 @@ class SliCQT:
         `_irfft`'s H block (column 0: 60*(c'+1); column k: 60*c' + n1-k).
         The per-position un-rotation phase (applied to fr before the iDFT
         in the unfused path) rides along as a static (2, n2, h1) table,
-        conjugated on mirror rows. Identical floating-point results."""
+        conjugated on mirror rows. The gather reads the RAW positive-piece
+        planes with the synthesis weights / mirror conj folded in as the v3
+        weight tables (see _build_inverse_gather). Identical floating-point
+        results to the legacy weighted-pieces path."""
         self._v2_idx = None
         self._fwd_half = None
         if self._ct_half is None:
@@ -469,7 +510,10 @@ class SliCQT:
             for k in range(1, h1):
                 p_of[r, k] = n1 * cp + (n1 - k)
         assert p_of.max() < self.nh
-        self._v2_idx = self._inv_idx[p_of.reshape(-1)]          # (n2*h1, O)
+        rows = p_of.reshape(-1)
+        self._v2_idx = v3_idx[rows]                              # (n2*h1, O)
+        self._v2_wr = v3_wr[rows]                                # (n2*h1, O)
+        self._v2_wi = v3_wi[rows]                                # (n2*h1, O)
         self._v2_conj = conj_m                                   # (n2, h1)
         unrot = np.asarray(self._unrot)                          # (2, nh)
         ph = unrot[:, p_of]                                      # (2, n2, h1)
@@ -599,7 +643,6 @@ class SliCQT:
         B, C, _, S, _ = blocks[0].shape
         parity = np.arange(S) % 2
 
-        vals = []
         specs = []
         for b, cb in zip(self.buckets, blocks):
             c = jnp.moveaxis(cb, 2, 3)                       # (B,C,S,F,M)
@@ -610,35 +653,40 @@ class SliCQT:
             ramp = jnp.asarray(b.inv_ramp)[parity]           # (S,M)
             spec = spec * ramp[None, None, :, None, :]
             specs.append(spec)
-            vals.append((spec * jnp.asarray(b.w_pos)).reshape(B, C, S, -1))
-        for b, spec in zip(self.buckets, specs):
-            if b.w_neg is None:
-                continue
-            sub = spec[..., b.neg_lo: b.neg_hi, :]
-            # mirror spectrum: value u is conj(spec[map_u]) with
-            # map = [1, 2, ..., M-1, M-1] (nsigtf.py:71-77 rederived)
-            neg = jnp.concatenate([sub[..., 1:], sub[..., -1:]], axis=-1).conj()
-            vals.append((neg * jnp.asarray(b.w_neg)).reshape(B, C, S, -1))
 
-        # zero-pad every piece to the 128-aligned slot _build_inverse_gather
-        # laid out: the concat below then copies whole tiles at aligned
-        # offsets (cheap) instead of shifting across tile boundaries
-        vals = [
-            jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else v
-            for v, pad in zip(vals, self._piece_pads)
-        ]
-        V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
         if self._v2_idx is not None:
-            # fused assembly: gather straight into the Hermitian-half iDFT's
-            # (n2, h1) input layout -- no intermediate half spectrum, no
-            # separate un-rotation pass (the phase/conj ride the static
-            # table). Same summands in the same order as the unfused path.
+            # fused assembly: gather the RAW positive-piece re/im planes
+            # straight into the Hermitian-half iDFT's (n2, h1) input layout.
+            # The synthesis weights and the mirror conjugation ride the
+            # gather as static per-entry weight tables (w_im = -w on mirror
+            # entries), so no weighted/mirror pieces are ever materialized
+            # and the value buffer is ~half the legacy one. Same summands
+            # in the same order as the unfused path: bit-identical in f32.
+            # synth_staging="bf16" stages the planes in bfloat16 (halving
+            # the concat+gather bytes again); the weight multiply promotes
+            # to f32, so the overlap sum still accumulates in f32.
             ct, ch = self._ct, self._ct_half
             n1, n2, h1 = ct["n1"], ct["n2"], ch["h1"]
-            g = jnp.take(V, jnp.asarray(self._v2_idx), axis=-1).sum(-1)
-            g = g.reshape(B, C, S, n2, h1)
+            dt = jnp.bfloat16 if self.synth_staging == "bf16" else jnp.float32
+            pads = self._piece_pads[: len(self.buckets)]
+
+            def planes(part):
+                # pieces land at 128-aligned offsets (_build_inverse_gather):
+                # the concat copies whole tiles instead of shifting across
+                # tile boundaries
+                ps = [part(s).astype(dt).reshape(B, C, S, -1) for s in specs]
+                ps = [
+                    jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else v
+                    for v, pad in zip(ps, pads)
+                ]
+                return jnp.concatenate(ps + [jnp.zeros((B, C, S, 1), dt)], axis=-1)
+
+            V_re, V_im = planes(jnp.real), planes(jnp.imag)
+            idx = jnp.asarray(self._v2_idx)
+            g_re = (jnp.take(V_re, idx, axis=-1) * jnp.asarray(self._v2_wr)).sum(-1)
+            g_im = (jnp.take(V_im, idx, axis=-1) * jnp.asarray(self._v2_wi)).sum(-1)
+            g = jax.lax.complex(g_re, g_im).reshape(B, C, S, n2, h1)
             g = jnp.where(jnp.asarray(self._v2_conj)[None, None, None], jnp.conj(g), g)
-            parity = np.arange(S) % 2
             V2 = g * jnp.asarray(self._v2_phase)[parity][None, None]
             Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2, precision=_PREC)
             Zt = Zt * jnp.asarray(ch["twh"])
@@ -646,9 +694,28 @@ class SliCQT:
             z = jnp.einsum("ak,...kb->...ab", jnp.asarray(ch["E1ih"]), Zs, precision=_PREC)
             sig_slices = z.reshape(B, C, S, n1 * n2)
         else:
+            # legacy scatter-as-gather over the nh half spectrum (non-half
+            # plans): weighted positive pieces plus materialized mirror
+            # pieces, then the un-rotation phase and the full iDFT
+            vals = [
+                (spec * jnp.asarray(b.w_pos)).reshape(B, C, S, -1)
+                for b, spec in zip(self.buckets, specs)
+            ]
+            for b, spec in zip(self.buckets, specs):
+                if b.w_neg is None:
+                    continue
+                sub = spec[..., b.neg_lo: b.neg_hi, :]
+                # mirror spectrum: value u is conj(spec[map_u]) with
+                # map = [1, 2, ..., M-1, M-1] (nsigtf.py:71-77 rederived)
+                neg = jnp.concatenate([sub[..., 1:], sub[..., -1:]], axis=-1).conj()
+                vals.append((neg * jnp.asarray(b.w_neg)).reshape(B, C, S, -1))
+            vals = [
+                jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else v
+                for v, pad in zip(vals, self._piece_pads)
+            ]
+            V = jnp.concatenate(vals + [jnp.zeros((B, C, S, 1), jnp.complex64)], axis=-1)
             fr = jnp.take(V, jnp.asarray(self._inv_idx), axis=-1).sum(-1)  # (B,C,S,nh)
             # physical->temporal slice un-rotation as a spectral phase
-            parity = np.arange(S) % 2
             fr = fr * jnp.asarray(self._unrot)[parity][None, None]
             sig_slices = self._irfft(fr)                                   # (B,C,S,nn)
         return self.unslice_signal(sig_slices, length)

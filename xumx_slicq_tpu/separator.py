@@ -325,13 +325,17 @@ class Separator:
         realtime: bool = False,
         mesh=None,
         quiet: bool = True,
+        synth_staging: str = "f32",
     ) -> "Separator":
         """Build a Separator from a model directory.
 
         The directory must hold a JSON manifest plus either our native
         `params.msgpack` or a reference-style `xumx_slicq_v2.pth`.
         `mesh`: optional 1-axis Mesh for multi-chip chunk-sharded
-        inference (overrides runtime_backend's device choice)."""
+        inference (overrides runtime_backend's device choice).
+        `synth_staging`: "bf16" stages the synthesis assembly through
+        split re/im bf16 planes (inference fast path; ~1.5e-3 relative
+        output error, see SliCQT)."""
         device = None if mesh is not None else _resolve_device(runtime_backend)
 
         if model_path is None:
@@ -348,6 +352,7 @@ class Separator:
             fmin=args["fmin"],
             fgamma=args.get("fgamma", 0.0),
             fs=args.get("sample_rate", 44100.0),
+            synth_staging=synth_staging,
         )
         seq_dur = args.get("seq_dur", 2.0)
         shapes = slicqt.block_shapes(1, args.get("nb_channels", 2), int(seq_dur * slicqt.fs))
