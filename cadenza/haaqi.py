@@ -52,10 +52,18 @@ verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
   * separation-like degradations (stem + bleed) under CAD1-style impaired
     audiograms score inside the support of the reference's published
     700-pair distribution (.github/cadenza-results/scores.csv: per-stem
-    scores ~0.08-0.29, pair means 0.15-0.29, mean 0.205).
+    scores ~0.08-0.29, pair means 0.15-0.29, mean 0.205);
+  * BRUTE-FORCE cross-checks: melcor9 and bm_covary are re-derived
+    independently inside the tests (scalar loops straight from the paper
+    equations, no shared code) and matched on random structured envelopes
+    to rtol 1e-8 (tests/test_haaqi_anchor.py::test_melcor9_matches_brute_force,
+    ::test_bm_covary_matches_brute_force) — this closes the
+    consistent-in-support-scale-bug hole for the two feature stages that
+    dominate the combination model.
 
-Remaining caveat: a consistent scale bug INSIDE the anchored support could
-still pass; exact clarity parity needs the clarity source, absent here.
+Remaining caveat: exact value-for-value clarity parity needs the clarity
+source, absent here; the ear-model stage (gammatone/compression constants)
+is anchored but not brute-force cross-derived.
 """
 
 import numpy as np
