@@ -34,8 +34,14 @@ def build_chunk_fn(slicqt: SliCQT, model: Unmix, params, batch_stats, chunk_len:
     """Closed-over-weights chunk pipeline (audio -> 4 stems)."""
 
     def run(audio):
+        # eval-only artifact: BN-folded fast path (see separator._chunk_fn);
+        # closed-over weights make the fold a compile-time constant
+        if not model.lstm:
+            p, bn = model.fold_batchnorm(params, batch_stats), None
+        else:
+            p, bn = params, batch_stats
         X = slicqt.forward(audio)
-        Y, _, _ = model.apply(params, batch_stats, X, train=False)
+        Y, _, _ = model.apply(p, bn, X, train=False)
         Yb = [y.reshape((-1,) + y.shape[2:]) for y in Y]
         est = slicqt.backward(Yb, chunk_len)
         return est.reshape(4, -1, est.shape[1], chunk_len)

@@ -173,8 +173,45 @@ def _enc1_frames(x5: jnp.ndarray, w: jnp.ndarray, fphi: int, amp: bool = False) 
     return conv2d(frames.reshape(B, C, F, K * T), w, stride=(1, T), amp=amp)
 
 
+def fold_cdae_batchnorm(params: dict, batch_stats: dict, eps: float = 1e-5) -> dict:
+    """Eval-time BatchNorm folding for one bucket's stacked CDAE params.
+
+    conv has no bias, so  BN(conv(x)) = conv(x)·α + δ  with
+    α = scale·rsqrt(var+eps), δ = bias − mean·α — α folds into the conv
+    weight's out-channel axis and δ becomes a conv bias that XLA fuses
+    into the conv epilogue together with the following ReLU, removing a
+    full read+write pass over each activation (the 70-bucket BN normalize
+    was a measured latency-floor item, PERFORMANCE.md round-4 roofline).
+    Exact up to fp rounding; training keeps real BatchNorm. Returns
+    params with enc1_b/enc2_b/dec1_b added and bn1/bn2/bn3 removed —
+    consumed by apply_cdae(batch_stats=None)."""
+    p = {k: v for k, v in params.items() if k not in ("bn1", "bn2", "bn3")}
+
+    def affine(name):
+        bp, bs = params[name], batch_stats[name]
+        a = bp["scale"] * jax.lax.rsqrt(bs["var"] + eps)
+        return a, bp["bias"] - bs["mean"] * a
+
+    a1, p["enc1_b"] = affine("bn1")
+    p["enc1_w"] = params["enc1_w"] * a1[:, :, None, None, None]   # (4, O, I, kh, kw)
+    a2, p["enc2_b"] = affine("bn2")
+    p["enc2_w"] = params["enc2_w"] * a2[:, :, None, None, None]
+    a3, p["dec1_b"] = affine("bn3")
+    p["dec1_w"] = params["dec1_w"] * a3[:, None, :, None, None]   # torch (4, I, O, kh, kw)
+    return p
+
+
 def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
-    """One target's CDAE on whitened magnitude x5: (B, C, F, S, T) -> mask."""
+    """One target's CDAE on whitened magnitude x5: (B, C, F, S, T) -> mask.
+
+    bn=None runs the BN-folded eval fast path (fold_cdae_batchnorm): the
+    per-layer bias stands in for the absorbed BatchNorm affine."""
+
+    def norm(h, w_key, bn_key):
+        if bn is None:
+            return h + p[w_key][None, :, None, None], None
+        return batch_norm(h, p[bn_key], bn[bn_key], train)
+
     B, C, F, S, T = x5.shape
     hop = T // 2
 
@@ -184,20 +221,22 @@ def _single_target_cdae(x5, p, bn, spec: SlicedCDAESpec, train: bool):
         h = conv2d(x, p["enc1_w"], stride=(1, hop), amp=spec.amp)
     else:
         h = _enc1_frames(x5, p["enc1_w"], spec.freq_filter, amp=spec.amp)
-    h, bn1 = batch_norm(h, p["bn1"], bn["bn1"], train)
+    h, bn1 = norm(h, "enc1_b", "bn1")
     h = jax.nn.relu(h)
 
     h = conv2d(h, p["enc2_w"], amp=spec.amp)
-    h, bn2 = batch_norm(h, p["bn2"], bn["bn2"], train)
+    h, bn2 = norm(h, "enc2_b", "bn2")
     h = jax.nn.relu(h)
 
     h = conv_transpose2d(h, p["dec1_w"], amp=spec.amp)
-    h, bn3 = batch_norm(h, p["bn3"], bn["bn3"], train)
+    h, bn3 = norm(h, "dec1_b", "bn3")
     h = jax.nn.relu(h)
 
     y = _dec2_ola(h, p["dec2_w"], spec, S)
     y = y + p["dec2_b"][None, :, None, None, None]
     mask = jax.nn.sigmoid(y)
+    if bn is None:
+        return mask, None
     return mask, {"bn1": bn1, "bn2": bn2, "bn3": bn3}
 
 
@@ -211,10 +250,19 @@ def apply_cdae(params: dict, batch_stats: dict, x_mag: jnp.ndarray, spec: Sliced
     # whitening: per-frequency learned shift/scale (model.py:239-242)
     x = (x_mag + params["input_mean"][None, None, :, None, None]) * params["input_scale"][None, None, :, None, None]
 
-    target_params = {
-        k: params[k]
-        for k in ("enc1_w", "enc2_w", "dec1_w", "dec2_w", "dec2_b", "bn1", "bn2", "bn3")
-    }
+    folded = batch_stats is None
+    if folded and train:
+        raise ValueError("BN-folded params cannot train (fold_cdae_batchnorm is eval-only)")
+    keys = ("enc1_w", "enc2_w", "dec1_w", "dec2_w", "dec2_b") + (
+        ("enc1_b", "enc2_b", "dec1_b") if folded else ("bn1", "bn2", "bn3")
+    )
+    target_params = {k: params[k] for k in keys}
+
+    if folded:
+        masks = jax.vmap(lambda p: _single_target_cdae(x, p, None, spec, False)[0])(
+            target_params
+        )
+        return masks, None
 
     def per_target(p, bn):
         return _single_target_cdae(x, p, bn, spec, train)

@@ -110,11 +110,12 @@ class Unmix:
                  new_batch_stats)."""
         n = len(self.specs)
         stats_per_block: List = [None] * n
+        bn_blocks = batch_stats["blocks"] if batch_stats is not None else [None] * n
 
         Ycomplex = []
         Ymasks = []
         for i, (spec, p, bn, Xb) in enumerate(
-            zip(self.specs, params["blocks"], batch_stats["blocks"], Xcomplex)
+            zip(self.specs, params["blocks"], bn_blocks, Xcomplex)
         ):
             Xmag = jnp.abs(Xb)
             if self.lstm:
@@ -130,7 +131,24 @@ class Unmix:
             Ycomplex.append(Yb)
             Ymasks.append(masks)
             stats_per_block[i] = nbn
+        if batch_stats is None:
+            return Ycomplex, Ymasks, None
         return Ycomplex, Ymasks, {"blocks": stats_per_block}
+
+    def fold_batchnorm(self, params: dict, batch_stats: dict) -> dict:
+        """Eval-time BatchNorm folding over all buckets (CDAE only) — see
+        cdae.fold_cdae_batchnorm. The returned params are consumed with
+        batch_stats=None; training must keep the unfolded originals."""
+        if self.lstm:
+            raise ValueError("BN folding applies to the CDAE variant only")
+        from .cdae import fold_cdae_batchnorm
+
+        return {
+            "blocks": [
+                fold_cdae_batchnorm(p, bn)
+                for p, bn in zip(params["blocks"], batch_stats["blocks"])
+            ]
+        }
 
     # -- info ----------------------------------------------------------------
 

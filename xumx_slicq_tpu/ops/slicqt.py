@@ -485,12 +485,12 @@ class SliCQT:
         spectrum entirely: row r < n2h reads fr[n1*r + k] (direct block);
         row r >= n2h reads conj(fr[p']) with p' the mirror source of
         `_irfft`'s H block (column 0: 60*(c'+1); column k: 60*c' + n1-k).
-        The per-position un-rotation phase (applied to fr before the iDFT
-        in the unfused path) rides along as a static (2, n2, h1) table,
-        conjugated on mirror rows. The gather reads the RAW positive-piece
-        planes with the synthesis weights / mirror conj folded in as the v3
-        weight tables (see _build_inverse_gather). Identical floating-point
-        results to the legacy weighted-pieces path."""
+        The gather reads the RAW positive-piece re/im planes with the
+        synthesis weights / mirror conj (see _build_inverse_gather) and
+        the per-row conj select folded in as static (rows, O) weight
+        tables; the per-(row, parity) un-rotation phase stays a separate
+        small multiply. Identical floating-point results to the legacy
+        weighted-pieces path."""
         self._v2_idx = None
         self._fwd_half = None
         if self._ct_half is None:
@@ -512,13 +512,32 @@ class SliCQT:
         assert p_of.max() < self.nh
         rows = p_of.reshape(-1)
         self._v2_idx = v3_idx[rows]                              # (n2*h1, O)
-        self._v2_wr = v3_wr[rows]                                # (n2*h1, O)
-        self._v2_wi = v3_wi[rows]                                # (n2*h1, O)
-        self._v2_conj = conj_m                                   # (n2, h1)
+        wr = v3_wr[rows]                                         # (n2*h1, O)
+        wi = v3_wi[rows]                                         # (n2*h1, O)
         unrot = np.asarray(self._unrot)                          # (2, nh)
         ph = unrot[:, p_of]                                      # (2, n2, h1)
         ph = np.where(conj_m[None], np.conj(ph), ph)
-        self._v2_phase = ph.astype(np.complex64)
+        # v4: the per-row mirror conjugation (sign s on the summed imaginary
+        # part) and the per-(row, parity) un-rotation phase are both static,
+        # so they fold INTO the gather weight tables. One gather over the
+        # stacked [re | im] plane with (rows, 2O) indices and two weighted
+        # sums produce V2's re/im planes directly — no conj select pass, no
+        # phase multiply pass, no intermediate complex g:
+        #   V2 = (g_re + i·s·g_im)(p_re + i·p_im)
+        #      => V2_re = Σ (wr·p_re)·v_re + Σ (-s·wi·p_im)·v_im
+        #         V2_im = Σ (wr·p_im)·v_re + Σ ( s·wi·p_re)·v_im
+        # the mirror-row conjugation acts on the SUMMED g, so it folds into
+        # the static im-plane weights as a per-row sign (parity-independent):
+        # complex(g_re, s*g_im) == the conj-selected g of the unfolded path.
+        # Folding the per-(row, parity) phase into the weights as well was
+        # measured SLOWER on-chip both as a stacked-plane (rows, 2O) gather
+        # (2x gather output width) and as four parity-indexed weight tables
+        # (S-expanded operand traffic) — PERFORMANCE.md round-4 log; the
+        # phase stays a separate small (S, n2, h1) multiply.
+        s = np.where(conj_m.reshape(-1), -1.0, 1.0)[:, None]     # (rows, 1)
+        self._v2_wr = wr
+        self._v2_wi = (s * wi).astype(np.float32)
+        self._v2_phase = ph.reshape(2, n2, h1).astype(np.complex64)
         self._build_forward_half()
 
     def _build_forward_half(self):
@@ -656,15 +675,18 @@ class SliCQT:
 
         if self._v2_idx is not None:
             # fused assembly: gather the RAW positive-piece re/im planes
-            # straight into the Hermitian-half iDFT's (n2, h1) input layout.
-            # The synthesis weights and the mirror conjugation ride the
-            # gather as static per-entry weight tables (w_im = -w on mirror
-            # entries), so no weighted/mirror pieces are ever materialized
-            # and the value buffer is ~half the legacy one. Same summands
-            # in the same order as the unfused path: bit-identical in f32.
+            # straight into the Hermitian-half iDFT's (n2, h1) input
+            # layout. The synthesis weights, the mirror conjugation AND
+            # the per-row conj select ride the gather as static per-entry
+            # weight tables (_build_v2_gather), so no weighted/mirror
+            # pieces are materialized and no conj pass runs; only the
+            # small per-(row, parity) un-rotation phase multiply remains
+            # (folding it into the weights too was measured slower — see
+            # _build_v2_gather). Same summands in the same order as the
+            # unfused path: bit-identical in f32.
             # synth_staging="bf16" stages the planes in bfloat16 (halving
-            # the concat+gather bytes again); the weight multiply promotes
-            # to f32, so the overlap sum still accumulates in f32.
+            # the concat+gather bytes); the weight multiply promotes to
+            # f32, so the overlap sum still accumulates in f32.
             ct, ch = self._ct, self._ct_half
             n1, n2, h1 = ct["n1"], ct["n2"], ch["h1"]
             dt = jnp.bfloat16 if self.synth_staging == "bf16" else jnp.float32
@@ -681,12 +703,10 @@ class SliCQT:
                 ]
                 return jnp.concatenate(ps + [jnp.zeros((B, C, S, 1), dt)], axis=-1)
 
-            V_re, V_im = planes(jnp.real), planes(jnp.imag)
             idx = jnp.asarray(self._v2_idx)
-            g_re = (jnp.take(V_re, idx, axis=-1) * jnp.asarray(self._v2_wr)).sum(-1)
-            g_im = (jnp.take(V_im, idx, axis=-1) * jnp.asarray(self._v2_wi)).sum(-1)
+            g_re = (jnp.take(planes(jnp.real), idx, axis=-1) * jnp.asarray(self._v2_wr)).sum(-1)
+            g_im = (jnp.take(planes(jnp.imag), idx, axis=-1) * jnp.asarray(self._v2_wi)).sum(-1)
             g = jax.lax.complex(g_re, g_im).reshape(B, C, S, n2, h1)
-            g = jnp.where(jnp.asarray(self._v2_conj)[None, None, None], jnp.conj(g), g)
             V2 = g * jnp.asarray(self._v2_phase)[parity][None, None]
             Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2, precision=_PREC)
             Zt = Zt * jnp.asarray(ch["twh"])

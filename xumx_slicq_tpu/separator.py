@@ -129,6 +129,13 @@ class Separator:
         mesh_mode = self.mesh is not None
 
         def run(params, batch_stats, audio):
+            # inference is eval-only: fold BatchNorm into the conv weights
+            # INSIDE the traced program (cdae.fold_cdae_batchnorm — removes
+            # the 70-bucket BN normalize pass over the activations; the fold
+            # itself is a few elementwise ops on the weights, fused by XLA)
+            if not getattr(model, "lstm", False):
+                params = model.fold_batchnorm(params, batch_stats)
+                batch_stats = None
             X = slicqt.forward(audio)                       # list[(B,C,F,S,M)]
             Y, _, _ = model.apply(params, batch_stats, X, train=False)
             # fold the target axis into batch for one inverse transform. In
