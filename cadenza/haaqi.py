@@ -111,7 +111,12 @@ def gammatone_env_bm(signal, cf, bw_factor, fs=FS_MODEL):
     # 4 cascaded one-pole filters approximate the gammatone envelope
     tpt = 2 * np.pi * 1.019 * bw_factor * _erb_bw(cf) / fs
     a = np.exp(-tpt)
-    gain = (1 - a) ** 4
+    # the heterodyne demodulation halves a real signal's in-band content
+    # (only the +cf line of sin/cos lands at DC); the factor 2 restores
+    # the Hilbert-envelope convention — a tone A*sin(2*pi*cf*t) reads
+    # env = A, so env_db is true dB SPL re 20 uPa as ear_model documents
+    # (anchored by test_gammatone_filterbank_anchors: ERB, peak, gain)
+    gain = 2.0 * (1 - a) ** 4
     z = base
     for _ in range(4):
         z = scipy.signal.lfilter([1.0], [1.0, -a], z)

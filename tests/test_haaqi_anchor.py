@@ -360,3 +360,43 @@ def test_bm_covary_matches_brute_force():
     got = fast(ref, proc)
     want = _bm_covary_brute(ref, proc)
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_gammatone_filterbank_anchors():
+    """Ear-model filterbank wedge (the remaining validation-scope caveat):
+    the heterodyne one-pole-cascade gammatone must realize the PUBLISHED
+    auditory filter spec, checked against first principles rather than
+    shared code.
+
+    (a) Equivalent rectangular bandwidth: a 4-pole cascade at 3-dB factor
+        b has two-sided noise bandwidth b*(5pi/16)/(pi/2) ... measured
+        empirically here as sum|H|^2*df / max|H|^2 of the impulse
+        response spectrum. Kates' 1.019 factor is designed so this equals
+        ERB(cf) = 24.7*(4.37*cf/1000 + 1) (Glasberg & Moore), scaled by
+        the OHC bandwidth-broadening factor.
+    (b) The response peaks at cf.
+    (c) A pure tone at cf passes with unit envelope gain.
+    """
+    from cadenza.haaqi import gammatone_env_bm, _erb_bw
+
+    fs = FS_MODEL
+    n = int(1.0 * fs)
+    imp = np.zeros(n)
+    imp[0] = 1.0
+    for cf, bw_factor in [(250.0, 1.0), (1000.0, 1.0), (4000.0, 1.0), (1000.0, 2.2)]:
+        _, bm = gammatone_env_bm(imp, cf, bw_factor, fs=fs)
+        H2 = np.abs(np.fft.rfft(bm)) ** 2
+        freqs = np.fft.rfftfreq(n, 1.0 / fs)
+        df = freqs[1] - freqs[0]
+        erb_measured = H2.sum() * df / H2.max()
+        erb_expected = bw_factor * _erb_bw(cf)
+        # the 1.019 factor compensates the 4-pole cascade's 0.982 noise-
+        # bandwidth ratio; agreement should be ~1e-3, assert 3%
+        np.testing.assert_allclose(erb_measured, erb_expected, rtol=0.03)
+        f_peak = freqs[np.argmax(H2)]
+        assert abs(f_peak - cf) <= 2 * df, (cf, f_peak)
+
+        t = np.arange(n) / fs
+        env, _ = gammatone_env_bm(0.37 * np.sin(2 * np.pi * cf * t), cf, bw_factor, fs=fs)
+        steady = env[n // 2:]
+        np.testing.assert_allclose(steady.mean(), 0.37, rtol=0.02)
