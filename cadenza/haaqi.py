@@ -61,9 +61,15 @@ verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
     consistent-in-support-scale-bug hole for the two feature stages that
     dominate the combination model.
 
+  * the gammatone filterbank is anchored against first principles
+    (test_gammatone_filterbank_anchors): measured equivalent-rectangular
+    bandwidth = ERB(cf)·bw_factor within 3%, response peaks at cf, and a
+    tone at cf passes at unit envelope gain (Hilbert-envelope convention,
+    so env_db is true dB SPL re 20 uPa).
+
 Remaining caveat: exact value-for-value clarity parity needs the clarity
-source, absent here; the ear-model stage (gammatone/compression constants)
-is anchored but not brute-force cross-derived.
+source, absent here; the compression constants (CR ramp, OHC/IHC split)
+are anchored at the distribution level but not brute-force cross-derived.
 """
 
 import numpy as np
