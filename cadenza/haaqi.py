@@ -67,9 +67,23 @@ verified by tests/test_cadenza.py and tests/test_haaqi_anchor.py):
     tone at cf passes at unit envelope gain (Hilbert-envelope convention,
     so env_db is true dB SPL re 20 uPa).
 
+  * the compression stage's I/O behavior is anchored directly
+    (test_compression_io_slope_anchors): the measured dB-in/dB-out slope
+    equals 1/CR with the published ramp (1.25 lowest band .. 3.5 highest)
+    at both endpoints, OHC loss linearizes it by the (1 - OHC/80) rule
+    while attenuating, and sub-threshold output clamps at 0 dB SL.
+
 Remaining caveat: exact value-for-value clarity parity needs the clarity
-source, absent here; the compression constants (CR ramp, OHC/IHC split)
-are anchored at the distribution level but not brute-force cross-derived.
+source, absent here. The one named architectural simplification: this
+ear model applies the compressive loudness mapping STATICALLY to each
+band's own envelope over its full level range, where Kates 2013
+describes a two-path design (a broader control filterbank drives a
+time-varying gain, compressive only between ~30 and 100 dB SPL
+kneepoints, linear outside). The static form preserves the published CR
+ramp, the OHC/IHC split, and every monotonicity/distribution anchor
+above; re-deriving the dynamic control path without the clarity source
+to check against would add unverifiable parity risk rather than remove
+it.
 """
 
 import numpy as np

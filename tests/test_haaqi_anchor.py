@@ -400,3 +400,57 @@ def test_gammatone_filterbank_anchors():
         env, _ = gammatone_env_bm(0.37 * np.sin(2 * np.pi * cf * t), cf, bw_factor, fs=fs)
         steady = env[n // 2:]
         np.testing.assert_allclose(steady.mean(), 0.37, rtol=0.02)
+
+
+def test_compression_io_slope_anchors():
+    """Ear-model compression anchor: the loudness mapping's dB-in/dB-out
+    slope must be 1/CR with the PUBLISHED compression-ratio ramp — CR
+    grows from 1.25 in the lowest band to 3.5 in the highest (Kates 2013
+    auditory-model framework; reference consumes it via
+    clarity.evaluator.haaqi, cadenza/evaluate.py:128-276) — OHC loss must
+    move CR toward linear by the (1 - OHC/80) rule while attenuating the
+    output, and sub-threshold output must clamp at 0 dB SL.
+
+    Probe: a pure tone at a band's cf passes its gammatone filter at unit
+    envelope gain (test_gammatone_filterbank_anchors), and the middle-ear
+    / filter gains are level-independent, so raising `level1` by 10 dB
+    raises the band's input envelope by exactly 10 dB — the steady-state
+    output rise measures the compression slope directly."""
+    from cadenza.haaqi import NUM_BANDS, ear_model
+
+    cfs = _erb_center_freqs()
+
+    def steady_env_db(k, level1, hl):
+        t = np.arange(int(0.4 * FS_MODEL)) / FS_MODEL
+        tone = np.sin(2 * np.pi * cfs[k] * t)
+        ref_db, _, _, _, _ = ear_model(
+            tone, tone, hl, level1=level1, fs_in=FS_MODEL, equalisation=0
+        )
+        n = ref_db.shape[1]
+        return np.median(ref_db[k, n // 2: -n // 8])
+
+    # (a) normal ear: slope == 1/CR at the published ramp's interior and
+    # both endpoints (1.25 low band, 3.5 high band)
+    for k in (0, NUM_BANDS // 2, NUM_BANDS - 1):
+        cr = 1.25 + 2.25 * k / (NUM_BANDS - 1)
+        lo, hi = steady_env_db(k, 60.0, NORMAL), steady_env_db(k, 70.0, NORMAL)
+        assert lo > 1.0, (k, lo)  # above the 0 dB SL clamp: slope is valid
+        assert (hi - lo) / 10.0 == pytest.approx(1.0 / cr, abs=0.01), k
+
+    # (b) flat 60 dB HL: OHC = min(0.8*60, 70*0.6+10) = 48 dB, so
+    # CR' = 1 + (CR-1)*(1 - 48/80) — closer to linear — and the output
+    # drops (OHC attenuation before, IHC shift after the compression)
+    k = NUM_BANDS // 2
+    cr = 1.25 + 2.25 * k / (NUM_BANDS - 1)
+    cr_imp = 1.0 + (cr - 1.0) * (1.0 - 48.0 / 80.0)
+    hl60 = [60, 60, 60, 60, 60, 60]
+    # probe louder than the normal-ear case: the 48 dB OHC attenuation and
+    # 12 dB IHC threshold shift put a 60 dB tone below 0 dB SL
+    lo, hi = steady_env_db(k, 80.0, hl60), steady_env_db(k, 90.0, hl60)
+    assert lo > 1.0, lo
+    assert (hi - lo) / 10.0 == pytest.approx(1.0 / cr_imp, abs=0.01)
+    assert 1.0 / cr_imp > 1.0 / cr  # loss linearizes the I/O function
+    assert lo < steady_env_db(k, 80.0, NORMAL)  # and attenuates
+
+    # (c) a sub-threshold tone under that loss clamps at 0 dB SL
+    assert steady_env_db(k, 5.0, hl60) == 0.0
