@@ -139,3 +139,49 @@ def test_wiener_grad_flows():
     g = jax.grad(loss)(mag)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_grouped_wiener_matches_per_bucket():
+    """wiener_blocks_grouped (one EM chain per M size class, the round-5
+    dispatch-count lever) must reproduce the per-bucket path exactly up to
+    fp reduction order: per-bucket max_abs scales are preserved as per-bin
+    vectors and M padding is zeros, which the per-bin frame-covariance
+    sums and the filter output are invariant to."""
+    rng = np.random.default_rng(7)
+    blocks = [(3, 2, 16), (1, 2, 16), (2, 3, 20), (5, 3, 44), (1, 3, 64), (2, 3, 72)]
+    B = 1
+    mix, mags = [], []
+    for F, S, M in blocks:
+        mix.append(jnp.asarray(_rand_complex(rng, (B, 2, F, S, M)) * rng.uniform(0.5, 40.0)))
+        mags.append(jnp.asarray(np.abs(rng.standard_normal((4, B, 2, F, S, M))).astype(np.float32)))
+    # ragged S is not a real configuration; equalize
+    mix = [m[:, :, :, :2] for m in mix]
+    mags = [m[:, :, :, :, :2] for m in mags]
+    for iters in (0, 1, 2):
+        y_ref = W.wiener_blocks(mix, mags, iters)
+        for ncls in (1, 3, 8):
+            y_grp = W.wiener_blocks_grouped(mix, mags, iters, n_classes=ncls)
+            for a, b in zip(y_ref, y_grp):
+                assert a.shape == b.shape
+                scale = float(jnp.abs(a).max()) + 1e-12
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=2e-5 * scale,
+                    err_msg=f"iters={iters} n_classes={ncls}",
+                )
+
+
+def test_partition_by_m_bounds():
+    """The DP partition must cover every bucket exactly once, respect the
+    class budget, and pad no worse than the single-class extreme."""
+    Ms = [28, 16, 20, 24, 68, 72, 140, 292]
+    Fs = [1, 86, 14, 11, 4, 4, 2, 1]
+    for k in (1, 3, 8, 20):
+        classes = W.partition_by_m(Ms, Fs, n_classes=k)
+        assert sorted(i for c in classes for i in c) == list(range(len(Ms)))
+        assert len(classes) <= max(1, min(k, len(Ms)))
+        for c in classes:
+            assert c  # no empty classes
+    # more classes never pads more
+    def pad(classes):
+        return sum(Fs[i] * (max(Ms[j] for j in c) - Ms[i]) for c in classes for i in c)
+    assert pad(W.partition_by_m(Ms, Fs, 8)) <= pad(W.partition_by_m(Ms, Fs, 2))

@@ -41,14 +41,25 @@ class Unmix:
         hidden_size_2: int = 51,
         time_filter_2: int = 4,
         amp: bool = False,
+        grouped_wiener: bool = False,
     ):
         """amp: bf16 mixed precision — conv/matmul operands in bf16 with
         fp32 accumulation (MXU-native), the TPU equivalent of the
         reference's bf16 autocast training scope (training.py:69-70).
-        Master weights, BN, Wiener-EM, and losses stay fp32."""
+        Master weights, BN, Wiener-EM, and losses stay fp32.
+
+        grouped_wiener: run the offline post-filter as one EM chain per M
+        size class instead of one per bucket (ops/wiener.py
+        wiener_blocks_grouped) — exact per-bucket semantics. Measured
+        SLOWER at inference (0.182 vs 0.139 s/track steady-state: the
+        class pad+concat+split materializes boundary buffers XLA otherwise
+        fuses away) but 32% faster to first-compile (147.8 vs 218.6 s) —
+        useful for many-config sweeps like slicqfinder; PERFORMANCE.md
+        round-5 log has the A/B."""
         self.realtime = realtime
         self.lstm = lstm
         self.amp = amp
+        self.grouped_wiener = grouped_wiener
         self.wiener_iterations = wiener_iterations
         self.specs: List = []
         for shape in block_shapes:
@@ -71,6 +82,21 @@ class Unmix:
     # -- init ----------------------------------------------------------------
 
     def init(self, key) -> Tuple[dict, dict]:
+        """Initialize (params, batch_stats) as ONE jitted program.
+
+        The unjitted body dispatches ~20 tiny RNG ops per bucket x 70
+        buckets; on a remote-tunneled device each dispatch pays the
+        ~27 ms control-plane round-trip (~3.5 min total, measured round
+        5). Jitted, init is one executable (persistent-cached across
+        processes). The LSTM variant keeps the direct path (its init
+        program is much larger to compile than it saves)."""
+        if self.lstm:
+            return self._init(key)
+        if not hasattr(self, "_init_jit"):
+            self._init_jit = jax.jit(self._init)
+        return self._init_jit(key)
+
+    def _init(self, key) -> Tuple[dict, dict]:
         keys = jax.random.split(key, len(self.specs))
         blocks = []
         stats = []
@@ -112,7 +138,7 @@ class Unmix:
         stats_per_block: List = [None] * n
         bn_blocks = batch_stats["blocks"] if batch_stats is not None else [None] * n
 
-        Ycomplex = []
+        Ymags = []
         Ymasks = []
         for i, (spec, p, bn, Xb) in enumerate(
             zip(self.specs, params["blocks"], bn_blocks, Xcomplex)
@@ -123,14 +149,17 @@ class Unmix:
                 masks, nbn = apply_lstm(p, bn, Xmag, spec, train=train, rng=block_rng)
             else:
                 masks, nbn = apply_cdae(p, bn, Xmag, spec, train=train)
-            Ymag = masks * Xmag[None]  # multiplicative skip connection
-            if self.realtime:
-                Yb = wiener_ops.blockwise_phasemix_sep(Xb, Ymag)
-            else:
-                Yb = wiener_ops.blockwise_wiener(Xb, Ymag, self.wiener_iterations)
-            Ycomplex.append(Yb)
+            Ymags.append(masks * Xmag[None])  # multiplicative skip connection
             Ymasks.append(masks)
             stats_per_block[i] = nbn
+        if self.realtime:
+            Ycomplex = wiener_ops.phasemix_blocks(Xcomplex, Ymags)
+        elif self.grouped_wiener:
+            Ycomplex = wiener_ops.wiener_blocks_grouped(
+                Xcomplex, Ymags, self.wiener_iterations
+            )
+        else:
+            Ycomplex = wiener_ops.wiener_blocks(Xcomplex, Ymags, self.wiener_iterations)
         if batch_stats is None:
             return Ycomplex, Ymasks, None
         return Ycomplex, Ymasks, {"blocks": stats_per_block}

@@ -222,6 +222,157 @@ def wiener_blocks(mix_blocks: Sequence[jnp.ndarray], mag_blocks: Sequence[jnp.nd
     return [blockwise_wiener(x, v, iterations) for x, v in zip(mix_blocks, mag_blocks)]
 
 
+# ---------------------------------------------------------------------------
+# size-class grouped Wiener: one EM chain per M size class instead of one per
+# bucket -- SURVEY.md section 7.1's bucket-grouping design point, measured in
+# round 5 (PERFORMANCE.md): SLOWER at inference (0.182 vs 0.139 s/track; the
+# class pad+concat+split adds ~24 GiB/run of boundary materialization that
+# XLA's per-bucket fusion never pays, even though each added op runs at
+# 465-513 GiB/s) but -32% first-compile time and half the trace time. Kept as
+# an option for many-config compile-bound sweeps; exact per-bucket semantics.
+# ---------------------------------------------------------------------------
+
+
+def partition_by_m(Ms: Sequence[int], Fs: Sequence[int], n_classes: int = 8) -> List[List[int]]:
+    """Partition bucket indices into <= n_classes size classes by their time
+    resolution M, minimizing total zero padding sum F_b * (M_class - M_b)
+    via exact DP over the M-sorted order. Returns a list of index lists;
+    each class pads its members' M to the class maximum."""
+    order = sorted(range(len(Ms)), key=lambda i: Ms[i])
+    m = [Ms[i] for i in order]
+    f = [Fs[i] for i in order]
+    n = len(m)
+    K = min(n_classes, n)
+    cost = [[0] * (n + 1) for _ in range(n + 1)]
+    for i in range(n):
+        for j in range(i + 1, n + 1):
+            mc = m[j - 1]
+            cost[i][j] = sum(f[k] * (mc - m[k]) for k in range(i, j))
+    INF = float("inf")
+    dp = [[INF] * (K + 1) for _ in range(n + 1)]
+    par = [[0] * (K + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for j in range(1, n + 1):
+        for k in range(1, K + 1):
+            for i in range(j):
+                c = dp[i][k - 1] + cost[i][j]
+                if c < dp[j][k]:
+                    dp[j][k] = c
+                    par[j][k] = i
+    classes: List[List[int]] = []
+    j, k = n, K
+    while j > 0:
+        i = par[j][k]
+        classes.append([order[t] for t in range(i, j)])
+        j, k = i, k - 1
+    return classes[::-1]
+
+
+def _em_stereo_native(y: jnp.ndarray, x: jnp.ndarray, iterations: int, eps: float) -> jnp.ndarray:
+    """_em_stereo in the NATIVE block layout — x: (B, C, N, T) complex,
+    y: (S, B, C, N, T) complex — with the frame-covariance reduction over
+    the minor (last) axis. Same math as _em_stereo / norbert; no layout
+    transposes (the grouped path's norbert-layout transposes were measured
+    to cost more than the grouping saved, PERFORMANCE.md round 5)."""
+    x0, x1 = x[:, 0], x[:, 1]                                         # (B,N,T)
+    sqeps = float(np.sqrt(eps))
+    nS = y.shape[0]
+    for _ in range(iterations):
+        y0, y1 = y[:, :, 0], y[:, :, 1]                               # (S,B,N,T)
+        a0, a1 = _abs2(y0), _abs2(y1)
+        v = 0.5 * (a0 + a1)                                           # (S,B,N,T)
+        c00 = jnp.sum(a0, axis=-1)                                    # (S,B,N) real
+        c11 = jnp.sum(a1, axis=-1)
+        c01 = jnp.sum(y0 * jnp.conj(y1), axis=-1)                     # (S,B,N) complex
+        w = 0.5 * (c00 + c11) + eps
+        R00, R11, R01 = c00 / w, c11 / w, c01 / w
+        A00 = sum(v[s] * R00[s][..., None] for s in range(nS)) + sqeps  # (B,N,T)
+        A11 = sum(v[s] * R11[s][..., None] for s in range(nS)) + sqeps
+        A01 = sum(v[s].astype(x.dtype) * R01[s][..., None] for s in range(nS))
+        det = A00 * A11 - _abs2(A01)
+        i00, i11 = A11 / det, A00 / det
+        i01 = -A01 / det.astype(x.real.dtype)
+        u0 = i00.astype(x.dtype) * x0 + i01 * x1                      # (B,N,T)
+        u1 = jnp.conj(i01) * x0 + i11.astype(x.dtype) * x1
+        outs0 = [
+            v[s].astype(x.dtype)
+            * (R00[s][..., None].astype(x.dtype) * u0 + R01[s][..., None] * u1)
+            for s in range(nS)
+        ]
+        outs1 = [
+            v[s].astype(x.dtype)
+            * (jnp.conj(R01[s][..., None]) * u0 + R11[s][..., None].astype(x.dtype) * u1)
+            for s in range(nS)
+        ]
+        y = jnp.stack([jnp.stack(outs0), jnp.stack(outs1)], axis=2)   # (S,B,C,N,T)
+    return y
+
+
+def wiener_blocks_grouped(
+    mix_blocks: Sequence[jnp.ndarray],
+    mag_blocks: Sequence[jnp.ndarray],
+    iterations: int = 1,
+    classes: Sequence[Sequence[int]] = None,
+    n_classes: int = 8,
+) -> List[jnp.ndarray]:
+    """blockwise_wiener over all buckets, one EM chain per M size class,
+    computed in the native block layout (no norbert-layout transposes).
+
+    Exact per-bucket equivalence: each bucket keeps its OWN norbert
+    stability scale max(1, 0.1*max|x_b|) (applied as a per-bin vector
+    before the class EM and inverted after; norbert/__init__.py:257 per
+    block), and M padding is zeros -- zeros contribute nothing to the
+    per-bin frame-covariance sums, the filter output at padded positions
+    is 0, and the padding is sliced off on the split, so every real
+    position computes the same chain as the ungrouped path (up to fp
+    reduction order).
+
+    mix_blocks: list of (B, C, F_b, S, M_b) complex; mag_blocks: matching
+    (4, B, C, F_b, S, M_b) float. Returns the per-bucket estimate list.
+    """
+    if mix_blocks[0].shape[1] != 2:
+        # the unrolled native EM is stereo-only (like _em_stereo); mono
+        # falls back to the per-bucket general path
+        return wiener_blocks(mix_blocks, mag_blocks, iterations)
+    Ms = [x.shape[-1] for x in mix_blocks]
+    Fs = [x.shape[2] for x in mix_blocks]
+    if classes is None:
+        classes = partition_by_m(Ms, Fs, n_classes)
+    nb_targets = mag_blocks[0].shape[0]
+    out: List = [None] * len(mix_blocks)
+    for members in classes:
+        Mc = max(Ms[i] for i in members)
+        B, C, _, S, _ = mix_blocks[members[0]].shape
+        inv_ma = []
+        xs, vs = [], []
+        for i in members:
+            x = mix_blocks[i]
+            v = mag_blocks[i]
+            ma = jnp.maximum(1.0, jnp.max(jnp.abs(x)) * 0.1)
+            inv_ma.append(jnp.full((Fs[i],), 1.0, jnp.float32) / ma)
+            pad = Mc - Ms[i]
+            if pad:
+                x = jnp.pad(x, ((0, 0),) * 4 + ((0, pad),))
+                v = jnp.pad(v, ((0, 0),) * 5 + ((0, pad),))
+            xs.append(x.reshape(B, C, Fs[i], S * Mc))
+            vs.append(v.reshape(nb_targets, B, C, Fs[i], S * Mc))
+        scale = jnp.concatenate(inv_ma)                    # (Fc,)
+        xc = jnp.concatenate(xs, axis=2) * scale[None, None, :, None]
+        vc = jnp.concatenate(vs, axis=3) * scale[None, None, None, :, None]
+        # mix-phase init + EM in the native layout; the per-bucket prescale
+        # already realizes each bucket's max_abs, so no further scaling
+        y = vc.astype(xc.dtype) * _unit_phase(xc)[None]    # (T,B,C,Fc,S*Mc)
+        if iterations:
+            y = _em_stereo_native(y, xc, iterations, _EPS)
+        y = y * (1.0 / scale)[None, None, None, :, None]
+        f0 = 0
+        for i in members:
+            yb = y[:, :, :, f0: f0 + Fs[i]].reshape(nb_targets, B, C, Fs[i], S, Mc)
+            out[i] = yb[..., : Ms[i]]
+            f0 += Fs[i]
+    return out
+
+
 def phasemix_blocks(mix_blocks: Sequence[jnp.ndarray], mag_blocks: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     """Apply blockwise_phasemix_sep across the bucket list (phase.py:122-126)."""
     return [blockwise_phasemix_sep(x, v) for x, v in zip(mix_blocks, mag_blocks)]
