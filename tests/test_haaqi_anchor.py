@@ -454,3 +454,33 @@ def test_compression_io_slope_anchors():
 
     # (c) a sub-threshold tone under that loss clamps at 0 dB SL
     assert steady_env_db(k, 5.0, hl60) == 0.0
+
+
+def test_haaqi_end_to_end_pinned_regression():
+    """End-to-end regression anchor (VERDICT r4 directive 8): a fixed
+    synthetic (reference, processed, audiogram) tuple with its current
+    score pinned to 6 decimals, so future edits to the ear model cannot
+    silently shift the scale in ways the brute-force feature cross-checks
+    (melcor9 / bm_covary / gammatone / compression-slope anchors above)
+    don't cover. The pinned values are THIS implementation's outputs —
+    a regression pin, not a clarity-parity claim (clarity is unavailable
+    offline; validation scope documented in cadenza/haaqi.py)."""
+    import scipy.signal as ss
+
+    from cadenza.haaqi import haaqi_v1
+
+    rng = np.random.default_rng(12345)
+    t = np.arange(int(3.0 * FS)) / FS
+    ref = sum(np.sin(2 * np.pi * 196.0 * (k + 1) * t + 0.7 * k) / (k + 1)
+              for k in range(6))
+    ref *= 0.5 * (1.0 + np.sin(2 * np.pi * 2.5 * t))
+    ref += 0.001 * rng.standard_normal(len(t))
+    ref = (0.3 * ref / np.abs(ref).max()).astype(np.float64)
+    # fixed degradation: gain + 3 kHz lowpass + additive noise
+    b, a = ss.butter(2, 3000 / (FS / 2))
+    proc = 0.9 * ss.lfilter(b, a, ref) + 0.003 * rng.standard_normal(len(t))
+
+    score_normal = haaqi_v1(ref, FS, proc, FS, np.array(NORMAL, float))
+    score_moderate = haaqi_v1(ref, FS, proc, FS, np.array(MODERATE, float))
+    np.testing.assert_allclose(score_normal, 0.172757319, atol=1e-6)
+    np.testing.assert_allclose(score_moderate, 0.170773842, atol=1e-6)

@@ -21,6 +21,7 @@ GOLDEN_CONFIGS = [
     ("mel", 128, 30.0, 0.0),
     ("vqlog", 70, 40.0, 25.0),
     ("cqlog", 99, 40.0, 0.0),
+    ("linear", 96, 40.0, 0.0),
 ]
 
 
@@ -38,20 +39,29 @@ def small_ref(small_t):
         pytest.skip("reference checkout not available")
     import_reference()
     from xumx_slicq_v2.nsgt import NSGT_sliced
-    from xumx_slicq_v2.nsgt.fscale import BarkScale, MelScale, LogScale
 
-    scale, fbins, fmin, fgamma = (
-        small_t.scale_name, small_t.fbins, small_t.fmin, small_t.fgamma
-    )
-    if scale == "bark":
-        scl = BarkScale(fmin, 22050.0, fbins)
-    elif scale == "mel":
-        scl = MelScale(fmin, 22050.0, fbins)
-    else:  # cqlog / vqlog
-        scl = LogScale(fmin, 22050.0, fbins, gamma=fgamma if scale == "vqlog" else 0.0)
     return NSGT_sliced(
-        scl, small_t.sllen, small_t.trlen, 44100.0, real=True, multichannel=True, device="cpu"
+        _ref_scale(small_t), small_t.sllen, small_t.trlen, 44100.0,
+        real=True, multichannel=True, device="cpu"
     )
+
+
+def _ref_scale(t):
+    """Reference Scale object matching a SliCQT's configuration
+    (reference transforms.py:30-48 scale-string dispatch)."""
+    from xumx_slicq_v2.nsgt.fscale import BarkScale, MelScale, LogScale, LinScale
+    from xumx_slicq_v2.nsgt.fscale import MRSTFTScale
+
+    scale, fbins, fmin, fgamma = t.scale_name, t.fbins, t.fmin, t.fgamma
+    if scale == "bark":
+        return BarkScale(fmin, 22050.0, fbins)
+    if scale == "mel":
+        return MelScale(fmin, 22050.0, fbins)
+    if scale == "linear":
+        return LinScale(fmin, 22050.0, fbins)
+    if scale == "mrstft":
+        return MRSTFTScale()
+    return LogScale(fmin, 22050.0, fbins, gamma=fgamma if scale == "vqlog" else 0.0)
 
 
 def _rand_signal(channels=2, length=int(1.1 * 44100), seed=0):
@@ -127,6 +137,55 @@ def test_backward_golden(small_t, small_ref):
     mine_C = [jnp.asarray(np.transpose(c.numpy(), (1, 2, 0, 3))[None]) for c in ref_C]
     my_y = np.asarray(small_t.backward(mine_C, L))[0]
     np.testing.assert_allclose(my_y, ref_y, atol=2e-5)
+
+
+def test_mrstft_golden():
+    """Transform-level golden parity for the multi-resolution STFT scale —
+    the last first-class scale family without one (reference
+    fscale.py:195-226, transforms.py:44-48). Its 5-segment Q table yields
+    sllen ~226k whose prime factorization exceeds the mixed-radix matmul
+    plan's limit, exercising the native rfft/irfft fallback
+    (ops/slicqt.py _plan_slice_fft) and the legacy scatter-as-gather
+    synthesis assembly — neither is covered by the other golden configs."""
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    import torch
+
+    import_reference()
+    from xumx_slicq_v2.nsgt import NSGT_sliced
+
+    t = SliCQT(scale="mrstft", fbins=576, fmin=1.0)
+    assert t.nfreqs == 577  # 4x128 + 64 segments + nyquist
+    # the ~226k sllen has a >512 non-smooth factor: the mixed-radix DFT
+    # matmul plan must have fallen back to native FFTs + legacy assembly
+    assert t._ct is None and t._v2_idx is None
+
+    ref = NSGT_sliced(
+        _ref_scale(t), t.sllen, t.trlen, 44100.0,
+        real=True, multichannel=True, device="cpu",
+    )
+    x = _rand_signal(length=int(1.1 * 44100), seed=11)
+    ref_C = ref.forward((torch.from_numpy(x),))
+    mine_C = t.forward(jnp.asarray(x[None]))
+    assert len(ref_C) == len(mine_C)
+    for rc, mc in zip(ref_C, mine_C):
+        rc = rc.numpy()  # (S, C, F, M)
+        mc = np.transpose(np.asarray(mc)[0], (2, 0, 1, 3))
+        assert mc.shape == rc.shape
+        # atol 1e-4: the ~226k-length f32 FFT accumulates ~5e-7 RELATIVE
+        # roundoff on coefficients of magnitude ~100 (measured max abs err
+        # 3.05e-5 on block 1) — a looser absolute tolerance than the short
+        # smooth-length configs above, same relative accuracy
+        np.testing.assert_allclose(mc, rc, atol=1e-4)
+
+    # backward golden on the reference's own coefficients + roundtrip parity
+    L = x.shape[-1]
+    ref_y = ref.backward([c.clone() for c in ref_C], L).numpy()
+    my_y = np.asarray(t.backward(mine_C, L))[0]
+    np.testing.assert_allclose(my_y, ref_y, atol=2e-5)
+    ref_err = np.abs(ref_y - x).max()
+    my_err = np.abs(my_y - x).max()
+    assert abs(my_err - ref_err) < 1e-4
 
 
 def test_bf16_synth_staging_close_to_f32():
