@@ -102,6 +102,80 @@ def test_training_smoke_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_grouped_wiener_flag(tmp_path):
+    """--grouped-wiener threads through training_main -> Unmix and through
+    Separator.load/--grouped-wiener at inference, and is numerically
+    equivalent to the per-bucket default (the grouped path is a
+    compile-time lever, not a different model — PERFORMANCE.md round 5).
+    One trained checkpoint is loaded both ways and must demix the same
+    audio to fp-reduction-order agreement."""
+    from xumx_slicq_tpu.separator import Separator
+
+    train_losses, _ = training_main([
+        "--synthetic-dataset", "--model-path", str(tmp_path),
+        "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
+        "--seq-dur", "0.3", "--batch-size", "4", "--epochs", "1",
+        "--debug", "--max-batches-per-epoch", "2", "--quiet",
+        "--grouped-wiener",
+    ])
+    assert np.isfinite(train_losses).all()
+
+    x = (np.random.default_rng(3).standard_normal((1, 2, 6615)) * 0.1
+         ).astype(np.float32)
+    ests = {}
+    for grouped in (False, True):
+        sep = Separator.load(model_path=str(tmp_path), runtime_backend="jax-cpu",
+                             chunk_size=int(0.3 * 44100), grouped_wiener=grouped)
+        assert sep.model.grouped_wiener is grouped
+        ests[grouped] = np.asarray(sep(x))
+    assert np.isfinite(ests[True]).all()
+    scale = np.abs(ests[False]).max() + 1e-12
+    np.testing.assert_allclose(ests[True], ests[False], atol=2e-5 * scale)
+
+
+@pytest.mark.slow
+def test_training_lstm_smoke_and_resume(tmp_path):
+    """End-to-end training of the LSTM model variant (VERDICT r4 missing 2:
+    the reference trains it as a first-class flag, training.py:224-233 /
+    model.py:297-472; here it previously had only forward/grad tests).
+    Four epochs via `training_main --lstm`: the loss must be finite and
+    decrease, checkpoint+resume must pick up the history, and the trained
+    model must round-trip through Separator.load as an LSTM and demix.
+    Measured trajectory at this config (CPU, deterministic, lr 3e-3):
+    train 0.974 -> 0.928 -> 0.871 -> 0.817 (monotone; 2 epochs at the
+    default lr was NOT enough — the loss can tick up before the cell
+    gates organize, hence 4 epochs + 0.05 headroom on the margin)."""
+    from xumx_slicq_tpu.separator import Separator
+
+    args = [
+        "--synthetic-dataset", "--model-path", str(tmp_path), "--lstm",
+        "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
+        "--seq-dur", "0.3", "--batch-size", "4", "--epochs", "4",
+        "--debug", "--max-batches-per-epoch", "4", "--quiet",
+        "--lr", "0.003",
+    ]
+    train_losses, valid_losses = training_main(args)
+    assert len(train_losses) == 4
+    assert np.isfinite(train_losses).all() and np.isfinite(valid_losses).all()
+    assert train_losses[-1] < train_losses[0] - 0.05
+
+    with open(tmp_path / "xumx_slicq_tpu.json") as f:
+        manifest = json.load(f)
+    assert manifest["args"]["lstm"] is True
+
+    args[args.index("--epochs") + 1] = "5"
+    train_losses2, _ = training_main(args)
+    assert len(train_losses2) == 5
+    assert train_losses2[:4] == train_losses
+
+    sep = Separator.load(model_path=str(tmp_path), runtime_backend="jax-cpu",
+                         chunk_size=int(0.5 * 44100))
+    assert sep.model.lstm
+    est = np.asarray(sep(np.zeros((1, 2, 4410), np.float32) + 0.01))
+    assert est.shape[0] == 4 and np.isfinite(est).all()
+
+
+@pytest.mark.slow
 def test_training_multidevice(tmp_path):
     """Data-parallel step over all 8 virtual CPU devices."""
     assert jax.device_count() >= 8
@@ -134,12 +208,14 @@ def test_training_improves_separation(tmp_path):
         — the generalization floor: still separates far better than not
         separating at all, and does not regress below the init model.
 
-    Measured values this config (CPU, deterministic): train loss 1.02 ->
-    0.014; (a) trained 3.79 dB vs init 1.26 vs mix -4.78; (b) trained
-    1.38 vs init 0.92 vs mix -5.24. Margins below are ~half the measured
-    gaps. (Beating init by 3 dB on (b) is NOT achievable for 120 tiny
-    steps on mel-12 — unseen f0s — which is why (a) carries the strong
-    margin.)"""
+    Measured values this config (CPU, deterministic, 45 epochs x 4 steps):
+    train loss 1.02 -> 0.0126; (a) trained 4.40 dB vs init 1.26 vs mix
+    -4.78; (b) trained 1.63 vs init 0.92 vs mix -5.24. Margins below are
+    ~half the measured gaps; leg (b) asserts a STRICTLY POSITIVE margin
+    over init (VERDICT r4 directive 6 — the former -0.25 dB regression
+    allowance is gone; 180 tiny steps on mel-12 now clear init on unseen
+    f0s with ~0.7 dB measured headroom, while (a) still carries the
+    strong separation-quality margin)."""
     import jax.numpy as jnp  # noqa: F401
 
     from xumx_slicq_tpu.data import SyntheticDataset
@@ -152,7 +228,7 @@ def test_training_improves_separation(tmp_path):
     training_main([
         "--synthetic-dataset", "--model-path", str(tmp_path),
         "--fscale", "mel", "--fbins", "12", "--fmin", "200.0",
-        "--seq-dur", "0.3", "--batch-size", "8", "--epochs", "30",
+        "--seq-dur", "0.3", "--batch-size", "8", "--epochs", "45",
         "--debug", "--max-batches-per-epoch", "4", "--quiet",
         "--seed", str(seed), "--nb-workers", "0",
     ])
@@ -188,10 +264,11 @@ def test_training_improves_separation(tmp_path):
     tr_a, init_a, mix_a = scores(seed)
     assert tr_a > init_a + 1.5, (tr_a, init_a)
     assert tr_a > mix_a + 5.0, (tr_a, mix_a)
-    # (b) generalization floor on a held-out generator seed (new f0s)
+    # (b) generalization: held-out generator seed (new f0s) — strictly
+    # better than the init model, with headroom (measured margin ~0.7 dB)
     tr_b, init_b, mix_b = scores(777)
     assert tr_b > mix_b + 4.0, (tr_b, mix_b)
-    assert tr_b > init_b - 0.25, (tr_b, init_b)
+    assert tr_b > init_b + 0.3, (tr_b, init_b)
 
 
 @pytest.mark.slow

@@ -46,6 +46,10 @@ def inference_main(argv=None):
     parser.add_argument("--n-devices", type=int, default=0,
                         help="shard each track's chunk batch over this many "
                              "local devices (0 = single device)")
+    parser.add_argument("--grouped-wiener", action="store_true", default=False,
+                        help="size-class grouped Wiener-EM: ~32%% faster first "
+                             "compile for a fresh transform geometry, slower "
+                             "steady-state (PERFORMANCE.md round-5 A/B)")
     parser.add_argument("--synth-staging", choices=("f32", "bf16"), default="f32",
                         help="bf16: stage the synthesis assembly through split "
                              "re/im bf16 planes — faster on HBM-bound chips at "
@@ -66,6 +70,7 @@ def inference_main(argv=None):
         model_path=args.model_path,
         mesh=mesh,
         synth_staging=args.synth_staging,
+        grouped_wiener=args.grouped_wiener,
     )
 
     dur = args.duration if args.duration is not None and args.duration > 0 else None

@@ -333,6 +333,7 @@ class Separator:
         mesh=None,
         quiet: bool = True,
         synth_staging: str = "f32",
+        grouped_wiener: bool = False,
     ) -> "Separator":
         """Build a Separator from a model directory.
 
@@ -342,7 +343,11 @@ class Separator:
         inference (overrides runtime_backend's device choice).
         `synth_staging`: "bf16" stages the synthesis assembly through
         split re/im bf16 planes (inference fast path; ~1.5e-3 relative
-        output error, see SliCQT)."""
+        output error, see SliCQT).
+        `grouped_wiener`: size-class grouped Wiener-EM — numerically
+        equivalent to the per-bucket default (a runtime choice, so the
+        manifest's training-time value is deliberately NOT consulted);
+        ~32% faster first compile, slower steady-state."""
         device = None if mesh is not None else _resolve_device(runtime_backend)
 
         if model_path is None:
@@ -376,7 +381,8 @@ class Separator:
         model = Unmix(shapes, realtime=manifest_realtime, lstm=args.get("lstm", False),
                       hidden_size_1=args.get("hidden_size_1", 50),
                       hidden_size_2=args.get("hidden_size_2", 51),
-                      time_filter_2=args.get("time_filter_2", 4))
+                      time_filter_2=args.get("time_filter_2", 4),
+                      grouped_wiener=grouped_wiener)
 
         params, batch_stats = load_model_weights(model_path, model, len(shapes))
 

@@ -81,6 +81,8 @@ def objective(trial_params: dict, args, pruner: MedianPruner, trial_id: int):
         argv += ["--musdb-root", args.musdb_root]
     if args.max_batches_per_epoch > 0:
         argv += ["--max-batches-per-epoch", str(args.max_batches_per_epoch)]
+    if args.grouped_wiener:
+        argv.append("--grouped-wiener")
 
     # ONE training_main call per trial: the per-epoch pruning decision runs
     # through the epoch callback, so the trial traces/compiles its step and
@@ -131,6 +133,11 @@ def tuning_main(argv=None):
                    help="validation items scored per epoch (optuna.py:31-33)")
     p.add_argument("--synthetic-dataset", action="store_true", default=False)
     p.add_argument("--max-batches-per-epoch", type=int, default=-1)
+    p.add_argument("--grouped-wiener", action="store_true", default=False,
+                   help="size-class grouped Wiener-EM in every trial: "
+                        "~32%% faster per-trial first compile (each trial "
+                        "compiles a fresh model geometry), slightly slower "
+                        "steady-state steps")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
