@@ -114,7 +114,8 @@ def _profiled(profile_dir):
     return profile_trace(profile_dir)
 
 
-def bench_inference(profile_dir=None, realtime=False, synth_staging="f32"):
+def bench_inference(profile_dir=None, realtime=False, synth_staging="f32",
+                    synth_split_gather=False):
     import jax
     import jax.numpy as jnp
 
@@ -131,7 +132,8 @@ def bench_inference(profile_dir=None, realtime=False, synth_staging="f32"):
 
     # canonical bark-262 flagship config; --synth-staging bf16 stages the
     # synthesis assembly value buffer as split re/im bf16 planes
-    slicqt = SliCQT(synth_staging=synth_staging)
+    slicqt = SliCQT(synth_staging=synth_staging,
+                    synth_split_gather=synth_split_gather)
     shapes = slicqt.block_shapes(1, 2, int(2.0 * sr))
     # offline = embedded Wiener-EM (the 4.4 dB tier); realtime = causal
     # convs + phasemix (the reference tier the 2.08 s baseline measures)
@@ -203,6 +205,8 @@ def bench_inference(profile_dir=None, realtime=False, synth_staging="f32"):
     metric = "realtime_inference_time_per_track_s" if realtime else "inference_time_per_track_s"
     if synth_staging != "f32":
         metric += f"_{synth_staging}"
+    if synth_split_gather:
+        metric += "_splitgather"
     result = {
         "metric": metric,
         "value": round(value, 4),
@@ -759,6 +763,10 @@ def main():
                    help="inference: stage the synthesis assembly value buffer "
                         "as split re/im bf16 planes (halves the dominant "
                         "synthesis HBM traffic; ~1.5e-3 relative output error)")
+    p.add_argument("--synth-split-gather", action="store_true",
+                   help="inference: width-2 main assembly gather + static "
+                        "overflow scatter-add instead of the dense (rows, 4) "
+                        "gather (~49%% of whose reads hit the zero sentinel)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
@@ -777,7 +785,8 @@ def main():
                               device_resident=args.device_resident)
     else:
         bench_inference(profile_dir=args.profile, realtime=args.realtime,
-                        synth_staging=args.synth_staging)
+                        synth_staging=args.synth_staging,
+                        synth_split_gather=args.synth_split_gather)
 
 
 if __name__ == "__main__":

@@ -209,6 +209,26 @@ def test_bf16_synth_staging_close_to_f32():
         SliCQT(scale="mel", fbins=16, fmin=300.0, synth_staging="f16")
 
 
+def test_split_gather_matches_dense():
+    """synth_split_gather=True (width-2 main assembly gather + static
+    overflow scatter-add, _build_split_gather) must reproduce the dense
+    (rows, O) gather to f32 reduction order: same summands per row, only
+    the overflow rows' accumulation is regrouped ((e0+e1)+(e2+e3)). The
+    split halves the dominant gather stage's read elements (52% at the
+    canonical geometry — PERFORMANCE.md bytes audit: ~49% of dense reads
+    hit the zero sentinel)."""
+    cfg = dict(scale="mel", fbins=16, fmin=300.0)
+    td = SliCQT(**cfg)
+    ts = SliCQT(**cfg, synth_split_gather=True)
+    assert ts._v5_main is not None and ts._v5_main[0].shape[1] == 2
+    assert ts._v5_ov is not None  # this config does overflow
+    x = jnp.asarray(_rand_signal(length=22050, seed=11)[None] * 0.3)
+    C = td.forward(x)
+    yd = np.asarray(td.backward(C, 22050))
+    ys = np.asarray(ts.backward(C, 22050))
+    np.testing.assert_allclose(ys, yd, atol=2e-6 * max(1.0, np.abs(yd).max()))
+
+
 def test_forward_grad_flows(small_t):
     """The transform must be differentiable end to end (training computes
     gradients through forward; offline model also through Wiener)."""

@@ -124,6 +124,7 @@ class SliCQT:
         trlen: Optional[int] = None,
         min_win: int = 16,
         synth_staging: str = "f32",
+        synth_split_gather: bool = False,
     ):
         self.scale_name = scale
         self.fbins = fbins
@@ -140,6 +141,16 @@ class SliCQT:
         if synth_staging not in ("f32", "bf16"):
             raise ValueError(f"synth_staging must be 'f32' or 'bf16', got {synth_staging!r}")
         self.synth_staging = synth_staging
+        # split-gather assembly: the dense (rows, O) gather reads the zero
+        # sentinel for ~49% of its entries at the canonical geometry (mean
+        # real entries/row 2.05, O=4 — PERFORMANCE.md bytes audit). The
+        # split variant gathers only the first 2 entries per row densely
+        # and adds the few hundred rows with 3-4 entries via a static
+        # sorted-unique scatter-add, halving the dominant gather stage's
+        # read traffic. Same summands per row (order regrouped for the
+        # overflow rows only: (e0+e1)+(e2+e3) vs serial), so results agree
+        # to f32 reduction order.
+        self.synth_split_gather = bool(synth_split_gather)
 
         scl = make_scale(scale, fbins, fmin, fmax, fgamma)
         if sllen is None:
@@ -538,7 +549,44 @@ class SliCQT:
         self._v2_wr = wr
         self._v2_wi = (s * wi).astype(np.float32)
         self._v2_phase = ph.reshape(2, n2, h1).astype(np.complex64)
+        self._build_split_gather()
         self._build_forward_half()
+
+    def _build_split_gather(self, width: int = 2):
+        """Split the (rows, O) assembly gather into a dense (rows, width)
+        main table plus a static overflow scatter-add (synth_split_gather).
+
+        Entries per row are real-first / sentinel-padded
+        (_build_inverse_gather), so columns [:width] carry every row's
+        first `width` summands and columns [width:] are non-sentinel only
+        for the few overflow rows (count > width; mean count is ~2.05 at
+        the canonical geometry). The overflow row list is sorted and
+        unique by construction — the scatter-add lowers to the fast XLA
+        path."""
+        self._v5_main = None
+        self._v5_ov = None
+        if self._v2_idx is None:
+            return
+        O = self._v2_idx.shape[1]
+        if O <= width:
+            # nothing to split: the dense gather is already minimal
+            self._v5_main = (self._v2_idx, self._v2_wr, self._v2_wi)
+            return
+        sent = self._raw_flat_len
+        self._v5_main = (
+            np.ascontiguousarray(self._v2_idx[:, :width]),
+            np.ascontiguousarray(self._v2_wr[:, :width]),
+            np.ascontiguousarray(self._v2_wi[:, :width]),
+        )
+        counts = (self._v2_idx != sent).sum(1)
+        ov_rows = np.where(counts > width)[0].astype(np.int32)
+        if ov_rows.size:
+            self._v5_ov = (
+                ov_rows,
+                np.ascontiguousarray(self._v2_idx[ov_rows, width:]),
+                np.ascontiguousarray(self._v2_wr[ov_rows, width:]),
+                np.ascontiguousarray(self._v2_wi[ov_rows, width:]),
+            )
 
     def _build_forward_half(self):
         """Per-bucket analysis gather tables over the HALF spectrum.
@@ -703,9 +751,28 @@ class SliCQT:
                 ]
                 return jnp.concatenate(ps + [jnp.zeros((B, C, S, 1), dt)], axis=-1)
 
-            idx = jnp.asarray(self._v2_idx)
-            g_re = (jnp.take(planes(jnp.real), idx, axis=-1) * jnp.asarray(self._v2_wr)).sum(-1)
-            g_im = (jnp.take(planes(jnp.imag), idx, axis=-1) * jnp.asarray(self._v2_wi)).sum(-1)
+            if self.synth_split_gather and self._v5_main is not None:
+                # width-2 main gather (every row's first two summands) plus
+                # a static sorted-unique scatter-add for the few overflow
+                # rows — halves the dense gather's sentinel-heavy read
+                # traffic (_build_split_gather)
+                mi, mwr, mwi = (jnp.asarray(a) for a in self._v5_main)
+                P_re, P_im = planes(jnp.real), planes(jnp.imag)
+                g_re = (jnp.take(P_re, mi, axis=-1) * mwr).sum(-1)
+                g_im = (jnp.take(P_im, mi, axis=-1) * mwi).sum(-1)
+                if self._v5_ov is not None:
+                    ovr, oi, owr, owi = self._v5_ov
+                    ovr_j = jnp.asarray(ovr)
+                    o_re = (jnp.take(P_re, jnp.asarray(oi), axis=-1) * jnp.asarray(owr)).sum(-1)
+                    o_im = (jnp.take(P_im, jnp.asarray(oi), axis=-1) * jnp.asarray(owi)).sum(-1)
+                    g_re = g_re.at[..., ovr_j].add(
+                        o_re, unique_indices=True, indices_are_sorted=True)
+                    g_im = g_im.at[..., ovr_j].add(
+                        o_im, unique_indices=True, indices_are_sorted=True)
+            else:
+                idx = jnp.asarray(self._v2_idx)
+                g_re = (jnp.take(planes(jnp.real), idx, axis=-1) * jnp.asarray(self._v2_wr)).sum(-1)
+                g_im = (jnp.take(planes(jnp.imag), idx, axis=-1) * jnp.asarray(self._v2_wi)).sum(-1)
             g = jax.lax.complex(g_re, g_im).reshape(B, C, S, n2, h1)
             V2 = g * jnp.asarray(self._v2_phase)[parity][None, None]
             Zt = jnp.einsum("bc,...ck->...kb", jnp.asarray(ch["Wcat"]), V2, precision=_PREC)
