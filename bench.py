@@ -115,7 +115,7 @@ def _profiled(profile_dir):
 
 
 def bench_inference(profile_dir=None, realtime=False, synth_staging="f32",
-                    synth_split_gather=False):
+                    synth_split_gather=True):
     import jax
     import jax.numpy as jnp
 
@@ -205,8 +205,8 @@ def bench_inference(profile_dir=None, realtime=False, synth_staging="f32",
     metric = "realtime_inference_time_per_track_s" if realtime else "inference_time_per_track_s"
     if synth_staging != "f32":
         metric += f"_{synth_staging}"
-    if synth_split_gather:
-        metric += "_splitgather"
+    if not synth_split_gather:
+        metric += "_densegather"
     result = {
         "metric": metric,
         "value": round(value, 4),
@@ -763,10 +763,12 @@ def main():
                    help="inference: stage the synthesis assembly value buffer "
                         "as split re/im bf16 planes (halves the dominant "
                         "synthesis HBM traffic; ~1.5e-3 relative output error)")
-    p.add_argument("--synth-split-gather", action="store_true",
-                   help="inference: width-2 main assembly gather + static "
-                        "overflow scatter-add instead of the dense (rows, 4) "
-                        "gather (~49%% of whose reads hit the zero sentinel)")
+    p.add_argument("--synth-dense-gather", action="store_true",
+                   help="inference: use the dense (rows, 4) assembly gather "
+                        "instead of the default width-2 split gather + static "
+                        "overflow scatter-add (the dense gather reads the zero "
+                        "sentinel for ~49%% of its entries; the split default "
+                        "measured 0.1310 vs 0.1399 s/track steady-state)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an xprof trace of the timed region into this dir")
     args = p.parse_args()
@@ -786,7 +788,7 @@ def main():
     else:
         bench_inference(profile_dir=args.profile, realtime=args.realtime,
                         synth_staging=args.synth_staging,
-                        synth_split_gather=args.synth_split_gather)
+                        synth_split_gather=not args.synth_dense_gather)
 
 
 if __name__ == "__main__":

@@ -218,7 +218,7 @@ def test_split_gather_matches_dense():
     canonical geometry — PERFORMANCE.md bytes audit: ~49% of dense reads
     hit the zero sentinel)."""
     cfg = dict(scale="mel", fbins=16, fmin=300.0)
-    td = SliCQT(**cfg)
+    td = SliCQT(**cfg, synth_split_gather=False)
     ts = SliCQT(**cfg, synth_split_gather=True)
     assert ts._v5_main is not None and ts._v5_main[0].shape[1] == 2
     assert ts._v5_ov is not None  # this config does overflow

@@ -124,7 +124,7 @@ class SliCQT:
         trlen: Optional[int] = None,
         min_win: int = 16,
         synth_staging: str = "f32",
-        synth_split_gather: bool = False,
+        synth_split_gather: bool = True,
     ):
         self.scale_name = scale
         self.fbins = fbins
@@ -149,7 +149,10 @@ class SliCQT:
         # sorted-unique scatter-add, halving the dominant gather stage's
         # read traffic. Same summands per row (order regrouped for the
         # overflow rows only: (e0+e1)+(e2+e3) vs serial), so results agree
-        # to f32 reduction order.
+        # to f32 reduction order. DEFAULT since the round-5 on-chip A/B:
+        # 0.1310 vs 0.1399 s/track steady-state offline (-6.4%), runs
+        # 0.1310/0.1312/0.1315 — PERFORMANCE.md round-5 split-gather
+        # section; synth_split_gather=False keeps the dense path.
         self.synth_split_gather = bool(synth_split_gather)
 
         scl = make_scale(scale, fbins, fmin, fmax, fgamma)
